@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst scalar expressions for the dedup pipeline (SURVEY.md §2.3,
+ * §2.5: ops S1, M1, M2, V1). All are pure, deterministic, null-safe, and
+ * evaluate directly over Tungsten representations (UTF8String bytes in,
+ * UnsafeArrayData out) — no UDF serialization round-trip. CodegenFallback
+ * for now per SURVEY.md §4.1 (measure before hand-writing doGenCode).
+ */
+private[graft] object Tok {
+  /** Byte offsets of space-separated tokens in UTF-8 `bytes`: flat array of
+    * (start, end) pairs. The space byte 0x20 never occurs inside a UTF-8
+    * multi-byte sequence, so byte scanning is code-point safe. Empty tokens
+    * (leading/trailing/double spaces) are skipped. */
+  def tokenSpans(bytes: Array[Byte], len: Int): Array[Int] = {
+    val spans = new java.util.ArrayList[Integer](64)
+    var i = 0
+    var start = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        if (i > start) { spans.add(start); spans.add(i) }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](spans.size())
+    var j = 0
+    while (j < out.length) { out(j) = spans.get(j); j += 1 }
+    out
+  }
+
+  /** True iff the text is already canonical: single spaces, no leading or
+    * trailing space — then word shingles are contiguous byte spans of the
+    * original buffer and can be hashed with zero copies. */
+  def isCanonicalSpacing(bytes: Array[Byte], len: Int): Boolean = {
+    if (len == 0) return true
+    if (bytes(0) == ' ' || bytes(len - 1) == ' ') return false
+    var i = 1
+    while (i < len) {
+      if (bytes(i) == ' ' && bytes(i - 1) == ' ') return false
+      i += 1
+    }
+    true
+  }
+
+  /** Sort ascending and dedupe in place; returns possibly-shorter array. */
+  def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+}
+
+/**
+ * S1 — word/byte k-shingles of a text, each hashed with xxhash64(seed);
+ * output is distinct and ascending (JaccardSorted's precondition).
+ *
+ * Invariant (unit-tested): for canonical single-spaced text, word-mode output
+ * equals `array_sort(array_distinct(transform(<k-gram strings>, s ->
+ * xxhash64(s))))` built from Spark builtins — each shingle hash is the
+ * xxhash64 of the UTF-8 bytes of the k tokens joined by a single space.
+ * Texts with fewer than k tokens yield an empty array.
+ */
+case class ShingleHashes(child: Expression, unit: String, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val utf8 = input.asInstanceOf[UTF8String]
+    val raw = utf8.getBytes
+    val hashes =
+      if (unit == "char") byteGrams(raw, raw.length)
+      else {
+        val (bytes, len) =
+          if (Tok.isCanonicalSpacing(raw, raw.length)) (raw, raw.length)
+          else canonicalize(raw)
+        wordGrams(bytes, len)
+      }
+    UnsafeArrayData.fromPrimitiveArray(hashes)
+  }
+
+  private def wordGrams(bytes: Array[Byte], len: Int): Array[Long] = {
+    val spans = Tok.tokenSpans(bytes, len)
+    val nTok = spans.length / 2
+    val n = nTok - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val from = spans(2 * i)                  // start of token i
+      val to = spans(2 * (i + k - 1) + 1)      // end of token i+k-1
+      out(i) = Xxh.hashBytes(bytes, from, to - from, seed)
+      i += 1
+    }
+    Tok.sortedDistinct(out, n)
+  }
+
+  private def byteGrams(bytes: Array[Byte], len: Int): Array[Long] = {
+    val n = len - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = Xxh.hashBytes(bytes, i, k, seed); i += 1 }
+    Tok.sortedDistinct(out, n)
+  }
+
+  /** Rebuild with single spaces so shingle spans match the joined form. */
+  private def canonicalize(raw: Array[Byte]): (Array[Byte], Int) = {
+    val out = new Array[Byte](raw.length)
+    var w = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val b = raw(i)
+      if (b == ' ') { if (w > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(w) = ' '; w += 1; pendingSpace = false }
+        out(w) = b; w += 1
+      }
+      i += 1
+    }
+    (out, w)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/**
+ * M1 — batched MinHash signature [Broder97]. For permutation i:
+ * sig[i] = min over shingle hashes h of (a_i * (h mod p) + b_i) mod p,
+ * p = 2^61 - 1, (a_i, b_i) drawn from SplittableRandom(seed) (algorithm
+ * fixed by the JDK spec ⇒ stable across JVMs). "Batched": one pass over the
+ * shingle array updates all numPerm accumulators (BASELINE.json:6).
+ * Empty shingle array ⇒ null (such docs never enter banding).
+ */
+case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  import Mersenne61._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = MinHashSig.params(numPerm, seed)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    if (shingles.isEmpty) return null
+    val acc = new Array[Long](numPerm)
+    java.util.Arrays.fill(acc, Long.MaxValue)
+    var j = 0
+    while (j < shingles.length) {
+      val h = reduce64(shingles(j))
+      var i = 0
+      while (i < numPerm) {
+        val v = mulAdd(as(i), h, bs(i))
+        if (v < acc(i)) acc(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** (a_i, b_i) pairs; a ∈ [1, p), b ∈ [0, p). Cached per (numPerm, seed). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  def params(numPerm: Int, seed: Long): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent((numPerm, seed), { _ =>
+      val rnd = new java.util.SplittableRandom(seed)
+      val as = Array.fill(numPerm)(rnd.nextLong(1L, Mersenne61.P))
+      val bs = Array.fill(numPerm)(rnd.nextLong(0L, Mersenne61.P))
+      (as, bs)
+    })
+}
+
+/**
+ * M2 — 64-bit SimHash fingerprint [Charikar02; Manku07 §2]. Word-unigram
+ * tokens hashed with xxhash64(seed); each token adds ±1 per bit position;
+ * final bit j is 1 iff counter_j > 0. Bag-of-words invariant: token order
+ * never affects the fingerprint (tested), so paragraph-reordered pages
+ * collide at Hamming 0.
+ */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val utf8 = input.asInstanceOf[UTF8String]
+    val bytes = utf8.getBytes
+    val spans = Tok.tokenSpans(bytes, bytes.length)
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < spans.length) {
+      val h = Xxh.hashBytes(bytes, spans(t), spans(t + 1) - spans(t), seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      t += 2
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counters(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * V1 — exact Jaccard over two distinct-sorted long arrays (S1's
+ * postcondition) via linear merge-intersect; |I| / |A|+|B|-|I| as double.
+ * Matches `size(array_intersect(a,b)) / size(array_union(a,b))` on distinct
+ * inputs (tested) but is O(|A|+|B|) with no hash-set allocation.
+ * Both empty ⇒ null.
+ */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Cosine similarity of two float vectors (ANN ops, SURVEY brief "similarity
+ * search"). Accumulates in double, sequential order — bit-compatible with
+ * DuckDB's list_* pattern on the same floats. Zero-norm ⇒ null.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    if (a.length != b.length) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / math.sqrt(na * nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.DedupConfig
+import graft.functions.Fns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH near-duplicate pipeline stages (SURVEY.md §2.3–§2.5):
+ * shingle → MinHash/SimHash signatures → band keys → salted bucket
+ * self-join → exact Jaccard/Hamming verification → family-tagged dup pairs.
+ *
+ * Everything is declarative DataFrame code over the custom expressions in
+ * `graft.functions`, so Catalyst owns pushdown/pruning and AQE owns runtime
+ * skew splitting (second line of defense after explicit salting, op B3).
+ *
+ * Scale notes (10^12 docs, SURVEY.md App A.4): signatures are ~1 KB/doc;
+ * shingle arrays are carried only into the verification join, which is
+ * restricted to candidate docs; bucket fan-out is capped by salting.
+ */
+object Lsh {
+
+  /** S1 — (doc_id, shingles) with shingles distinct+sorted; docs whose text
+    * yields no shingle (fewer than k tokens) keep an empty array. */
+  def shingled(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    docs.select(col("doc_id"), Fns.shingleHashes(col("text"), cfg).as("shingles"))
+
+  /** M1 — (doc_id, minhash); empty-shingle docs are dropped (sig is null). */
+  def signatures(shingled: DataFrame, cfg: DedupConfig): DataFrame =
+    shingled
+      .select(col("doc_id"), Fns.minhashSig(col("shingles"), cfg).as("minhash"))
+      .where(col("minhash").isNotNull)
+
+  /** M2 — (doc_id, simhash). */
+  def simhashes(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    docs.select(col("doc_id"), Fns.simhash64(col("text"), cfg).as("simhash"))
+
+  /** B1 — MinHash LSH banding [MMDS ch.3]: one row per (doc, band) with
+    * key = xxhash64 of the band's r-slice of the signature. */
+  def minhashBandKeys(signatures: DataFrame, cfg: DedupConfig): DataFrame = {
+    val keys = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      i => xxhash64(slice(col("minhash"), i * lit(cfg.rows) + lit(1), lit(cfg.rows))))
+    signatures
+      .select(col("doc_id"), posexplode(keys))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+  }
+
+  /** B2 — SimHash block-combination keys [Manku07 §3]. The 64-bit
+    * fingerprint splits into `simhashBlocks` near-equal bit blocks; a key is
+    * emitted for every combination of (blocks − hammingThreshold) blocks.
+    * Pigeonhole: a pair within Hamming ≤ t differs in ≤ t blocks, so it
+    * agrees on some (blocks−t)-combination and collides on that key.
+    * Defaults (6 blocks, t=3) give C(6,3)=20 keys of ~32 selective bits —
+    * usable at 10^12 docs, unlike 16-bit quarters. */
+  def simhashBandKeys(simhashes: DataFrame, cfg: DedupConfig): DataFrame = {
+    val nb = cfg.simhashBlocks
+    val base = 64 / nb
+    val extra = 64 % nb // first `extra` blocks get one more bit
+    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int) =
+      shiftrightunsigned(col("simhash"), offsets(i)) bitwiseAND lit((1L << widths(i)) - 1)
+    val combos = (0 until nb).combinations(nb - cfg.hammingThreshold).toSeq
+    val entries = combos.zipWithIndex.map { case (blocks, ci) =>
+      struct(lit(ci).as("band"),
+             xxhash64((lit(ci) +: blocks.map(block)): _*).as("key"))
+    }
+    simhashes
+      .select(col("doc_id"), explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
+  }
+
+  /** B3 — hot-bucket salting. Census pass finds buckets over
+    * `saltMaxBucket`; their members fan out into `ceil(n/max)` salt lanes, so
+    * no self-join task ever sees more than ~saltMaxBucket² pair candidates.
+    * Cross-lane pairs inside a hot bucket are intentionally not generated in
+    * that bucket (bounded recall cost — a true near-dup pair still collides
+    * in its other bands); the drop is *logged, never silent*:
+    * `saltedDropEstimate` quantifies it. AQE skew-join splitting remains the
+    * runtime backstop. */
+  def saltBandKeys(bandKeys: DataFrame, cfg: DedupConfig): DataFrame = {
+    if (cfg.saltMaxBucket <= 0) return bandKeys.withColumn("salt", lit(0))
+    val hot = bandKeys.groupBy("band", "key").count()
+      .where(col("count") > cfg.saltMaxBucket)
+      .select(col("band"), col("key"),
+              ceil(col("count") / cfg.saltMaxBucket).cast("int").as("nsalt"))
+    bandKeys
+      .join(broadcast(hot), Seq("band", "key"), "left")
+      .withColumn("salt",
+        when(col("nsalt").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int")))
+      .drop("nsalt")
+  }
+
+  /** Estimated pairs not generated due to salting: Σ_hot C(n,2) − s·C(n/s,2).
+    * Written to the metrics table by the pipeline runner (no silent caps). */
+  def saltedDropEstimate(bandKeys: DataFrame, cfg: DedupConfig): Long = {
+    if (cfg.saltMaxBucket <= 0) return 0L
+    val hot = bandKeys.groupBy("band", "key").count()
+      .where(col("count") > cfg.saltMaxBucket)
+      .select(col("count").cast("double").as("n"),
+              ceil(col("count") / cfg.saltMaxBucket).cast("double").as("s"))
+    hot.select(
+      coalesce(sum(col("n") * (col("n") - 1) / 2 -
+        col("s") * ((col("n") / col("s")) * (col("n") / col("s") - 1) / 2)), lit(0.0)))
+      .head().getDouble(0).toLong
+  }
+
+  /** J1 — bucket self-join: equi-join on (band, key, salt), canonical a<b,
+    * multi-band hits collapsed with a count. */
+  def candidatePairs(saltedKeys: DataFrame): DataFrame = {
+    val x = saltedKeys.select(col("band"), col("key"), col("salt"), col("doc_id").as("a"))
+    val y = saltedKeys.select(col("band"), col("key"), col("salt"), col("doc_id").as("b"))
+    x.join(y, Seq("band", "key", "salt"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("band_hits"))
+  }
+
+  /** V1 — exact-Jaccard verification: join candidate pairs back to shingle
+    * arrays (restricts shingle movement to candidate docs only) and keep
+    * pairs at or above the threshold. */
+  def verifyJaccard(cands: DataFrame, shingled: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", Fns.jaccardSorted(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** V2 — exact-Hamming verification for the SimHash family. */
+  def verifyHamming(cands: DataFrame, simhashes: DataFrame, cfg: DedupConfig): DataFrame = {
+    val ha = simhashes.select(col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val hb = simhashes.select(col("doc_id").as("b"), col("simhash").as("sh_b"))
+    cands.join(ha, "a").join(hb, "b")
+      .withColumn("hamming", bit_count(col("sh_a") bitwiseXOR col("sh_b")).cast("int"))
+      .where(col("hamming") <= cfg.hammingThreshold)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Full MinHash family: docs(doc_id, text) → verified (a, b, jaccard). */
+  def minhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sh = shingled(docs, cfg)
+    val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
+    verifyJaccard(candidatePairs(keys), sh, cfg)
+  }
+
+  /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming). */
+  def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sims = simhashes(docs, cfg)
+    val keys = saltBandKeys(simhashBandKeys(sims, cfg), cfg)
+    verifyHamming(candidatePairs(keys), sims, cfg)
+  }
+
+  /** V3 — evidence accumulation [FredJain05]: union of verified pair
+    * families, canonicalized and tagged. Schema: (a, b, family). */
+  def dupPairs(minhash: DataFrame, simhash: DataFrame, substr: DataFrame): DataFrame = {
+    def canon(df: DataFrame, fam: String) =
+      df.select(least(col("a"), col("b")).as("a"),
+                greatest(col("a"), col("b")).as("b"))
+        .withColumn("family", lit(fam))
+    canon(minhash, "minhash")
+      .unionByName(canon(simhash, "simhash"))
+      .unionByName(canon(substr, "substr"))
+      .dropDuplicates("a", "b", "family")
+  }
+}

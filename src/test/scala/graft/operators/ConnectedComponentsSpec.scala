@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** G6 — CC oracle equivalence: large-star/small-star must match a
+  * sequential union-find on random seeded graphs. */
+class ConnectedComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = ConnectedComponents.assign(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val expect = unionFind(0, edges)
+    assert(got === expect)
+  }
+
+  test("single edge") { check(Seq((2L, 1L))) }
+  test("chain collapses to min") { check((1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq) }
+  test("two components") { check(Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L))) }
+  test("self-contained star") { check(Seq((5L, 1L), (5L, 2L), (5L, 3L))) }
+  test("empty input") {
+    val out = ConnectedComponents.assign(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.count() === 0)
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new java.util.SplittableRandom(0x5EAC15DL)
+    (1 to 5).foreach { trial =>
+      val n = 50 + trial * 40
+      val m = n * 2
+      val edges = (1 to m).map { _ =>
+        (rnd.nextLong(0, n).abs, rnd.nextLong(0, n).abs)
+      }.filter(e => e._1 != e._2)
+      check(edges)
+    }
+  }
+
+  test("clusters table: sizes and canonical flags") {
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val out = ConnectedComponents.clusters(assign)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
+  }
+}

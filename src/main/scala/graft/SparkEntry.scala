@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.{ConnectedComponents, Lsh}
+import graft.operators.{AnnOps, ConnectedComponents, Lsh, TextOps}
 import graft.sources.TestData
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -50,6 +51,88 @@ object SparkEntry {
       ConnectedComponents.assign(Lsh.minhashDupPairs(docs(s, dir), cfg))
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .orderBy(desc("cluster_size"), col("cluster_id"))),
+
+    // B1+B3 — LSH bucket-size census (rows-only: minhash-dependent).
+    "q06_band_census" -> ((s, dir) =>
+      Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs(s, dir), cfg), cfg), cfg)
+        .groupBy("band", "key").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+        .orderBy("bucket_size")),
+
+    // M2+B2+V2 — SimHash family pairs (rows-only: hash-dependent).
+    "q07_simhash_pairs" -> ((s, dir) =>
+      Lsh.simhashDupPairs(docs(s, dir), cfg).orderBy("a", "b")),
+
+    // exact-dedup census (training-data op).
+    "q08_exact_dup_stats" -> ((s, dir) => TextOps.exactDupStats(docs(s, dir))),
+
+    // exact-dedup survivors (keep min doc_id per distinct text).
+    "q09_exact_dedup" -> ((s, dir) =>
+      TextOps.exactDedupSurvivors(docs(s, dir)).orderBy("doc_id")),
+
+    // token counting op.
+    "q10_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
+
+    // quality scoring op.
+    "q11_quality" -> ((s, dir) => TextOps.qualityFeatures(docs(s, dir)).orderBy("doc_id")),
+
+    // language-ID heuristic, confusion rollup vs the labeled lang.
+    "q12_langid" -> ((s, dir) =>
+      TextOps.langIdRollup(docs(s, dir)).orderBy("lang", "predicted")),
+
+    // A3 — rollup grouping sets over (lang, source).
+    "q13_lang_source_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source").agg(count(lit(1)).as("n_docs"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
+
+    // E5 — JSON scalar extraction + aggregate over the events table.
+    "q14_events_json" -> ((s, dir) =>
+      TestData.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // window functions — per-user top-3 events by value.
+    "q15_events_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      TestData.events(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("user_id", "rank", "event_id")
+        .orderBy("user_id", "rank")
+    }),
+
+    // ANN — exact cosine top-5 neighbors (similarity-search baseline).
+    "q16_ann_topk" -> ((s, dir) =>
+      AnnOps.bruteTopK(TestData.embeddings(s, dir), 5).orderBy("vec_id", "rank")),
+
+    // ANN — LSH-bucketed top-5 (scale path; rows-only: approximate).
+    "q17_ann_lsh_topk" -> ((s, dir) =>
+      AnnOps.lshTopK(TestData.embeddings(s, dir), 5).orderBy("vec_id", "rank")),
+
+    // embedding-cosine near-dup pairs, brute-force (exact oracle form).
+    "q18_cosine_dups" -> ((s, dir) => {
+      val e = TestData.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      a.crossJoin(broadcast(b)).where(col("a") < col("b"))
+        .withColumn("cos", graft.functions.Fns.cosineSim(col("ea"), col("eb")))
+        .where(col("cos") >= 0.4)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    }),
+
+    // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
+    "q19_seg_join" -> ((s, dir) =>
+      TestData.table(s, dir, "orders")
+        .join(broadcast(TestData.table(s, dir, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             min("o_totalprice").as("min_price"),
+             max("o_totalprice").as("max_price"))
+        .orderBy("mktsegment")),
   )
 
   /** Shared DuckDB SQL fragment: distinct word-3-shingle sets per doc. */
@@ -93,5 +176,93 @@ object SparkEntry {
     "q05_cluster_sizes" ->
       s"""SELECT cluster_id, count(*) AS cluster_size FROM ($bruteClustersSql)
          |GROUP BY cluster_id ORDER BY cluster_size DESC, cluster_id""".stripMargin,
+    "q08_exact_dup_stats" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_unique_texts,
+        |CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant_docs
+        |FROM (SELECT count(*) AS n FROM documents GROUP BY text)""".stripMargin,
+    "q09_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q10_token_stats" ->
+      """SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq_tokens,
+        |length(text) AS n_chars_text
+        |FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "q11_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,
+         |    len(list_filter(w, x -> x IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stop,
+         |    CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sum_token_chars
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |        FROM documents))
+         |SELECT doc_id, n_tokens, n_uniq, n_stop, sum_token_chars,
+         |  CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens END AS uniq_ratio,
+         |  CASE WHEN n_tokens > 0 THEN n_stop / n_tokens END AS stop_ratio,
+         |  CASE WHEN n_tokens > 0 THEN sum_token_chars / n_tokens END AS avg_token_len
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q12_langid" -> langIdSql,
+    "q13_lang_source_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q14_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_events_topk" ->
+      """SELECT user_id, rank, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events) WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "q16_ann_topk" ->
+      s"""WITH c AS ($cosinePairsSql)
+         |SELECT vec_id, rank, neighbor_id, cos FROM (
+         |  SELECT a AS vec_id, b AS neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+         |  FROM (SELECT a, b, cos FROM c UNION ALL SELECT b, a, cos FROM c))
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "q18_cosine_dups" ->
+      s"""WITH c AS ($cosinePairsSql)
+         |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+    "q19_seg_join" ->
+      """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY mktsegment""".stripMargin,
   )
+
+  /** Double-precision cosine over all vector pairs (a < b) — element-wise
+    * double accumulation, bit-identical to CosineSim's sequential loop. */
+  private val cosinePairsSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |              for i in range(1, len(embedding)+1)]) AS nn
+      |  FROM embeddings)
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      |  list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+      |            for i in range(1, len(x.embedding)+1)]) / sqrt(x.nn * y.nn) AS cos
+      |FROM e x JOIN e y ON x.vec_id < y.vec_id""".stripMargin
+
+  /** Language-ID scoring replicated 1:1 from TextOps.langId. */
+  private val langIdSql: String = {
+    val scores = TextOps.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(w, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextOps.langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+       |SELECT lang, predicted, count(*) AS n_docs FROM (
+       |  SELECT lang, CASE
+       |      $cases
+       |      ELSE 'und' END AS predicted
+       |  FROM sc)
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
 }

@@ -28,6 +28,9 @@ object Fns {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  def embedSimHash(vec: Column, bits: Int, seed: Long): Column =
+    column(EmbedSimHash(expression(vec), bits, seed))
+
   /** Register SQL-callable forms (literal args) in the session's function
     * registry; idempotent. Example: `SELECT jaccard_sorted(a, b)`. */
   def register(spark: SparkSession, cfg: DedupConfig = DedupConfig.test): Unit = {

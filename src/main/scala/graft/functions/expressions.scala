@@ -292,3 +292,40 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Random-hyperplane LSH signature for embedding vectors [Charikar02 §3]:
+ * bit b of the result is the sign of Σ_i x_i · r_{b,i}, where r_{b,i} ∈ {±1}
+ * is derived from xxhash64(seed, b·2^32 + i) — no hyperplane matrix is ever
+ * materialized or broadcast, so the expression is a pure per-row function
+ * at any dimensionality. Used to bucket vectors for approximate
+ * nearest-neighbor search (cosine LSH).
+ */
+case class EmbedSimHash(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "embed_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val r = if ((Xxh.hashLong((b.toLong << 32) | i.toLong, seed) & 1L) == 1L) 1.0 else -1.0
+        s += v(i) * r
+        i += 1
+      }
+      if (s > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EmbedSimHash =
+    copy(child = newChild)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data text operations over the `documents`/`pages` shape:
+ * exact deduplication, token counting, quality scoring, language-ID
+ * (builder brief: first-class components alongside SURVEY.md §2).
+ *
+ * All of these are pure builtin-column compositions (codegen'd, no UDFs),
+ * and every formula is replicated 1:1 in the DuckDB oracles — integer
+ * counts and exact integer-division doubles only, so values are
+ * bit-identical across engines.
+ */
+object TextOps {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column = filter(split(text, " "), w => length(w) > lit(0))
+
+  /** Exact dedup survivors: one representative (min doc_id) per distinct
+    * text. Grouping key is xxhash64(text) so the shuffle moves 8-byte keys,
+    * not full documents (at 100 TB the text column never shuffles); the
+    * 2^-64 collision risk is the standard exact-dedup trade. */
+  def exactDedupSurvivors(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  /** Corpus-level exact-dup census: one row. */
+  def exactDupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant_docs"))
+
+  /** Per-doc token statistics (token counting op). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"))
+  }
+
+  /** Stoplist used by quality scoring — pinned, part of the op contract. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-doc quality features: counts plus exact ratios (null when the doc
+    * has no tokens — ANSI-safe, mirrored in the oracle with CASE WHEN). */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("long").as("sum_token_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"), col("sum_token_chars"),
+        when(col("n_tokens") > 0, col("n_uniq") / col("n_tokens")).as("uniq_ratio"),
+        when(col("n_tokens") > 0, col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        when(col("n_tokens") > 0, col("sum_token_chars") / col("n_tokens")).as("avg_token_len"))
+  }
+
+  /** Marker profiles for the n-gram/stopword language-ID heuristic.
+    * Deterministic scoring; insertion order is the tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "我", "不", "在"))
+
+  /** Language-ID: per-doc marker-token counts, argmax with fixed priority
+    * order on ties ("und" = unknown when every score is zero). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("lang") +:
+        langMarkers.map { case (l, ms) =>
+          val arr = array(ms.map(lit): _*)
+          size(filter(toks, t => array_contains(arr, t))).cast("long").as(s"s_$l")
+        }): _*)
+    val langs = langMarkers.map(_._1)
+    val best = langs.foldRight(lit("und")) { (l, els) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(col(s"s_$l") > 0 && isMax, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted", best)
+  }
+
+  /** Language-ID confusion rollup: (lang, predicted, n_docs). */
+  def langIdRollup(docs: DataFrame): DataFrame =
+    langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+}

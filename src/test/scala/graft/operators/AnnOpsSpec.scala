@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class AnnOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteTopK: ranks agree with a driver-side exact computation") {
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+      .map { case (id, v, _) => id -> v }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val got = AnnOps.bruteTopK(emb, 3)
+      .select("vec_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (v, rows) => v -> rows.sortBy(_._2).map(_._3).toSeq }
+    val someIds = vecs.keys.toSeq.sorted.take(20)
+    someIds.foreach { id =>
+      val expect = vecs.keys.filter(_ != id).toSeq
+        .sortBy(o => (-cos(vecs(id), vecs(o)), o)).take(3)
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
+  test("lshTopK: candidates come from buckets; ranks exact within candidates") {
+    val brute = AnnOps.bruteTopK(emb, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = AnnOps.lshTopK(emb, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect brute).size.toDouble / brute.size
+    info(f"lsh recall@5 = $recall%.3f (approx=${approx.size} brute=${brute.size})")
+    assert(approx.nonEmpty)
+    assert(recall > 0.05) // random gaussian corpus: buckets are weak, but nonzero
+  }
+
+  test("cosineDupPairs respects threshold and canonical a<b") {
+    val rows = AnnOps.cosineDupPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.3)
+    }
+  }
+
+  test("embedBandKeys emits exactly `tables` keys per vector, deterministically") {
+    val k1 = AnnOps.embedBandKeys(emb, 8, 8, 1L)
+      .groupByKey(_ => 0).count().collect().head._2
+    assert(k1 === emb.count() * 8)
+    val a = AnnOps.embedBandKeys(emb, 8, 8, 1L).select("vec_id", "band", "key")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = AnnOps.embedBandKeys(emb, 8, 8, 1L).select("vec_id", "band", "key")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat", "en"),
+    (2L, "the cat sat on the mat", "en"),   // exact dup of 1
+    (3L, "der hund und die katze", "de"),
+    (4L, "", "en"),
+    (5L, "la la la", "es"),
+    (6L, "the cat sat on the mat", "en")    // exact dup of 1
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedupSurvivors keeps min doc_id per distinct text") {
+    val got = TextOps.exactDedupSurvivors(corpus).as[Long].collect().sorted
+    assert(got === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("exactDupStats census") {
+    val r = TextOps.exactDupStats(corpus).head()
+    assert(r.getLong(0) === 6L) // n_docs
+    assert(r.getLong(1) === 4L) // unique texts
+    assert(r.getLong(2) === 1L) // dup groups
+    assert(r.getLong(3) === 2L) // redundant docs
+  }
+
+  test("tokenStats counts tokens, uniques, chars") {
+    val m = TextOps.tokenStats(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) === ((6L, 5L, 22L)))
+    assert(m(4L) === ((0L, 0L, 0L)))
+    assert(m(5L) === ((3L, 1L, 8L)))
+  }
+
+  test("qualityFeatures exact ratios and null on empty doc") {
+    val m = TextOps.qualityFeatures(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getLong(1) === 6L)                    // n_tokens
+    assert(r1.getLong(3) === 2L)                    // n_stop: "the" x2
+    assert(r1.getDouble(5) === 5.0 / 6.0)           // uniq_ratio
+    assert(r1.getDouble(6) === 2.0 / 6.0)           // stop_ratio
+    val r4 = m(4L)
+    assert(r4.isNullAt(5) && r4.isNullAt(6) && r4.isNullAt(7))
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    val got = TextOps.langId(corpus)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")   // 'the' x2
+    assert(got(3L) === "de")   // der, und, die
+    assert(got(4L) === "und")  // no tokens
+    assert(got(5L) === "es")   // 'la' x3 (es and fr share 'la'... es priority)
+  }
+}

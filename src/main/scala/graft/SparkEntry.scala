@@ -123,6 +123,16 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // E1 — extractor round-trip: plain canonical text wrapped as html bytes
+    // must extract byte-identically (the per-url invariant's query form).
+    "q20_extract_roundtrip" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Fns.htmlToText(col("text").cast("binary")).as("extracted"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("extracted") === col("text"), 1L).otherwise(0L))
+               .as("n_roundtrip_equal"))),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -224,6 +234,8 @@ object SparkEntry {
     "q18_cosine_dups" ->
       s"""WITH c AS ($cosinePairsSql)
          |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+    "q20_extract_roundtrip" ->
+      ("SELECT count(*) AS n_docs, count(*) AS n_roundtrip_equal FROM documents"),
     "q19_seg_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

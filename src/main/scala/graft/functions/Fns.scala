@@ -31,6 +31,9 @@ object Fns {
   def embedSimHash(vec: Column, bits: Int, seed: Long): Column =
     column(EmbedSimHash(expression(vec), bits, seed))
 
+  def htmlToText(html: Column): Column =
+    column(HtmlToText(expression(html)))
+
   /** Register SQL-callable forms (literal args) in the session's function
     * registry; idempotent. Example: `SELECT jaccard_sorted(a, b)`. */
   def register(spark: SparkSession, cfg: DedupConfig = DedupConfig.test): Unit = {
@@ -45,5 +48,7 @@ object Fns {
       "jaccard_sorted", es => JaccardSorted(es(0), es(1)), "builtin")
     reg.createOrReplaceTempFunction(
       "cosine_sim", es => CosineSim(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction(
+      "html_to_text", es => HtmlToText(es.head), "builtin")
   }
 }

@@ -329,3 +329,21 @@ case class EmbedSimHash(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): EmbedSimHash =
     copy(child = newChild)
 }
+
+/**
+ * E1 as a Catalyst expression: html binary → extracted text (see
+ * graft.extract.HtmlExtract for the frozen spec + golden pins).
+ */
+case class HtmlToText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_to_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.extract.HtmlExtract.text(input.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+    copy(child = newChild)
+}

@@ -133,6 +133,32 @@ object SparkEntry {
              sum(when(col("extracted") === col("text"), 1L).otherwise(0L))
                .as("n_roundtrip_equal"))),
 
+    // X1-X4 — exact-substring dup pairs (rows-only: hash/partition path).
+    "q21_substr_pairs" -> ((s, dir) =>
+      graft.operators.ExactSubstr.substrDupPairs(docs(s, dir), cfg).orderBy("a", "b")),
+
+    // V3+G1-G5 — full evidence accumulation: all three families → clusters.
+    "q22_eac_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Lsh.dupPairs(
+        Lsh.minhashDupPairs(d, cfg),
+        Lsh.simhashDupPairs(d, cfg),
+        graft.operators.ExactSubstr.substrDupPairs(d, cfg))
+      ConnectedComponents.clusters(ConnectedComponents.assign(pairs.select("a", "b")))
+        .orderBy("doc_id")
+    }),
+
+    // M3 — MinHashUnion Aggregator: per-lang set-union signature.
+    "q23_lang_signature" -> ((s, dir) => {
+      val sigs = Lsh.signatures(Lsh.shingled(docs(s, dir), cfg), cfg)
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      val union = udaf(graft.functions.MinHashUnion)
+      sigs.groupBy("lang")
+        .agg(element_at(union(col("minhash")), 1).as("sig_head"),
+             count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{DedupConfig, SparkSuite}
+import graft.sources.PagesGen
+
+class ExactSubstrSpec extends SparkSuite {
+  import spark.implicits._
+  private val cfg = DedupConfig.test
+
+  test("rollingHashes: equal windows hash equal, shifted content aligns") {
+    val s = ("x" * 30 + "commonrun-commonrun-commonrun!" + "y" * 30)
+      .getBytes("UTF-8")
+    val t = ("z" * 7 + "commonrun-commonrun-commonrun!" + "w" * 50)
+      .getBytes("UTF-8")
+    val hs = ExactSubstr.rollingHashes(s, 10)
+    val ht = ExactSubstr.rollingHashes(t, 10)
+    // window starting at the shared run must hash identically in both
+    assert(hs(30) === ht(7))
+    assert(hs.length === s.length - 9)
+  }
+
+  test("winnowPositions: deterministic, content-defined, covers every window") {
+    val rnd = new java.util.SplittableRandom(5)
+    val hs = Array.fill(200)(rnd.nextLong())
+    val w = 10
+    val sel = ExactSubstr.winnowPositions(hs, w)
+    assert(sel.toSeq === ExactSubstr.winnowPositions(hs, w).toSeq)
+    // every window of w consecutive positions contains a selected position
+    (0 to hs.length - w).foreach { start =>
+      assert(sel.exists(p => p >= start && p < start + w), s"window at $start uncovered")
+    }
+    // winnowing guarantee: same suffix of hashes selects same positions (shifted)
+    val shifted = hs.drop(37)
+    val selShift = ExactSubstr.winnowPositions(shifted, w).map(_ + 37).toSet
+    val inRange = sel.filter(_ >= 37 + w).toSet // away from the boundary window
+    assert(inRange.subsetOf(selShift))
+  }
+
+  test("matchedRun verifies and extends to the maximal run") {
+    val a = "AAAA-THE-COMMON-RUN-HERE-BBBB".getBytes("UTF-8")
+    val b = "CC-THE-COMMON-RUN-HERE-DDDDDD".getBytes("UTF-8")
+    // witness inside the common run, L=5
+    val oa = a.indexOfSlice("COMMON".getBytes("UTF-8"))
+    val ob = b.indexOfSlice("COMMON".getBytes("UTF-8"))
+    val len = ExactSubstr.matchedRun(a, oa, b, ob, 5)
+    assert(len === "-THE-COMMON-RUN-HERE-".length)
+    assert(ExactSubstr.matchedRun(a, 0, b, 0, 5) === 0) // mismatching witness
+  }
+
+  test("gram route finds planted splices >= gramLen + winnowW - 1 bytes") {
+    val docs = PagesGen.docs(spark, 500, cfg).toDF()
+    val truth = PagesGen.truthPairsLocal(500, cfg)
+      .filter(_.kind == "substr").map(p => (p.a, p.b)).toSet
+    assert(truth.nonEmpty)
+    val found = ExactSubstr.verifyExtend(
+      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg)), docs, cfg)
+      .collect().map(p => (p.a, p.b)).toSet
+    val recall = (found intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.99, s"recall=$recall missing=${truth diff found}")
+    // every reported run really is >= gramLen (exactness)
+    ExactSubstr.verifyExtend(
+      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg)), docs, cfg)
+      .collect().foreach(p => assert(p.match_len >= cfg.gramLen))
+  }
+
+  test("shard route finds co-partitioned repeats >= gramLen") {
+    val docs = PagesGen.docs(spark, 500, cfg).toDF().coalesce(1)
+    val truth = PagesGen.truthPairsLocal(500, cfg)
+      .filter(_.kind == "substr").map(p => (p.a, p.b)).toSet
+    val found = ExactSubstr.shardRepeats(docs, cfg)
+      .collect().map(p => (p.a, p.b)).toSet
+    val recall = (found intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.99, s"recall=$recall missing=${truth diff found}")
+  }
+
+  test("combined family is the union with max run length") {
+    val docs = PagesGen.docs(spark, 300, cfg).toDF()
+    val all = ExactSubstr.substrDupPairs(docs, cfg)
+      .as[(Long, Long, Int)].collect()
+    all.foreach { case (a, b, l) => assert(a < b); assert(l >= cfg.gramLen) }
+  }
+}

@@ -159,6 +159,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // multimodal — binary media column + typed metadata (decode stubbed,
+    // plumbing real): byte lengths are oracle-checked, stub fields aren't.
+    "q24_media_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.mediaFeatures(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("media")))
+        .select(col("doc_id"), col("n_bytes"))
+        .orderBy("doc_id")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -262,6 +270,8 @@ object SparkEntry {
          |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
     "q20_extract_roundtrip" ->
       ("SELECT count(*) AS n_docs, count(*) AS n_roundtrip_equal FROM documents"),
+    "q24_media_meta" ->
+      "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id",
     "q19_seg_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,9 +10,45 @@ import org.apache.spark.unsafe.types.UTF8String
  * Custom Catalyst scalar expressions for the dedup pipeline (SURVEY.md §2.3,
  * §2.5: ops S1, M1, M2, V1). All are pure, deterministic, null-safe, and
  * evaluate directly over Tungsten representations (UTF8String bytes in,
- * UnsafeArrayData out) — no UDF serialization round-trip. CodegenFallback
- * for now per SURVEY.md §4.1 (measure before hand-writing doGenCode).
+ * UnsafeArrayData out) — no UDF serialization round-trip.
+ *
+ * Codegen strategy: doGenCode delegates to the compiled eval via an object
+ * reference (the expression bodies are branch-heavy scalar JVM code the JIT
+ * already optimizes); what this buys over CodegenFallback is that the
+ * SURROUNDING operator stays inside WholeStageCodegen — with fallback, the
+ * whole Project/Filter degrades to interpreted row processing (observed in
+ * plans: no codegen stage around the signature projection).
  */
+private[functions] trait DelegatedUnaryCodegen { self: UnaryExpression =>
+  /** public bridge so generated code can call the protected eval */
+  final def compute(input: Any): Any = nullSafeEval(input)
+  /** cast applied to compute's boxed result in generated code */
+  protected def resultCast: String
+  /** true when the result can be null even for a non-null input */
+  protected def resultNullable: Boolean = false
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      if (resultNullable)
+        s"Object r = $ref.compute($c);\n" +
+          s"if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = $resultCast r; }"
+      else s"${ev.value} = $resultCast $ref.compute($c);")
+  }
+}
+
+private[functions] trait DelegatedBinaryCodegen { self: BinaryExpression =>
+  final def compute(a: Any, b: Any): Any = nullSafeEval(a, b)
+  protected def resultCast: String
+  protected def resultNullable: Boolean = false
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      if (resultNullable)
+        s"Object r = $ref.compute($a, $b);\n" +
+          s"if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = $resultCast r; }"
+      else s"${ev.value} = $resultCast $ref.compute($a, $b);")
+  }
+}
 private[graft] object Tok {
   /** Byte offsets of space-separated tokens in UTF-8 `bytes`: flat array of
     * (start, end) pairs. The space byte 0x20 never occurs inside a UTF-8
@@ -73,8 +109,9 @@ private[graft] object Tok {
  * Texts with fewer than k tokens yield an empty array.
  */
 case class ShingleHashes(child: Expression, unit: String, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DelegatedUnaryCodegen {
   require(k >= 1)
+  override protected def resultCast: String = "(org.apache.spark.sql.catalyst.util.ArrayData)"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "shingle_hashes"
@@ -149,8 +186,10 @@ case class ShingleHashes(child: Expression, unit: String, k: Int, seed: Long)
  * Empty shingle array ⇒ null (such docs never enter banding).
  */
 case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DelegatedUnaryCodegen {
   import Mersenne61._
+  override protected def resultCast: String = "(org.apache.spark.sql.catalyst.util.ArrayData)"
+  override protected def resultNullable: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -201,7 +240,8 @@ object MinHashSig {
  * collide at Hamming 0.
  */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DelegatedUnaryCodegen {
+  override protected def resultCast: String = "(long)(java.lang.Long)"
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash64"
@@ -239,7 +279,9 @@ case class SimHash64(child: Expression, seed: Long)
  * Both empty ⇒ null.
  */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DelegatedBinaryCodegen {
+  override protected def resultCast: String = "(double)(java.lang.Double)"
+  override protected def resultNullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "jaccard_sorted"
@@ -269,7 +311,9 @@ case class JaccardSorted(left: Expression, right: Expression)
  * DuckDB's list_* pattern on the same floats. Zero-norm ⇒ null.
  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DelegatedBinaryCodegen {
+  override protected def resultCast: String = "(double)(java.lang.Double)"
+  override protected def resultNullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -302,8 +346,9 @@ case class CosineSim(left: Expression, right: Expression)
  * nearest-neighbor search (cosine LSH).
  */
 case class EmbedSimHash(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DelegatedUnaryCodegen {
   require(bits >= 1 && bits <= 64)
+  override protected def resultCast: String = "(long)(java.lang.Long)"
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "embed_simhash"
@@ -335,7 +380,8 @@ case class EmbedSimHash(child: Expression, bits: Int, seed: Long)
  * graft.extract.HtmlExtract for the frozen spec + golden pins).
  */
 case class HtmlToText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DelegatedUnaryCodegen {
+  override protected def resultCast: String = "(org.apache.spark.unsafe.types.UTF8String)"
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "html_to_text"

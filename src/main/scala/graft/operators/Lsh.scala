@@ -25,11 +25,15 @@ object Lsh {
   def shingled(docs: DataFrame, cfg: DedupConfig): DataFrame =
     docs.select(col("doc_id"), Fns.shingleHashes(col("text"), cfg).as("shingles"))
 
-  /** M1 — (doc_id, minhash); empty-shingle docs are dropped (sig is null). */
+  /** M1 — (doc_id, minhash); empty-shingle docs carry a null signature.
+    * Deliberately NO isNotNull filter here: a filter on the computed column
+    * gets duplicated into the scan's DataFilters and the Filter node, which
+    * evaluated the whole shingle+minhash chain 3× per row (observed in the
+    * plan). Banding's posexplode emits zero rows for null signatures, so
+    * null docs drop out downstream for free. */
   def signatures(shingled: DataFrame, cfg: DedupConfig): DataFrame =
     shingled
       .select(col("doc_id"), Fns.minhashSig(col("shingles"), cfg).as("minhash"))
-      .where(col("minhash").isNotNull)
 
   /** M2 — (doc_id, simhash). */
   def simhashes(docs: DataFrame, cfg: DedupConfig): DataFrame =

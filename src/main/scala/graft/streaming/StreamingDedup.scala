@@ -30,9 +30,10 @@ object StreamingDedup {
   def bandKeys(docs: DataFrame, cfg: DedupConfig): Dataset[BandKey] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // no isNotNull filter: it would re-evaluate the sig chain per row
+    // (see Lsh.signatures); posexplode drops null signatures for free
     val sigs = docs
       .select(col("doc_id"), Fns.minhashSig(Fns.shingleHashes(col("text"), cfg), cfg).as("minhash"))
-      .where(col("minhash").isNotNull)
     Lsh.minhashBandKeys(sigs, cfg)
       .select(col("band"), col("key"), col("doc_id")).as[BandKey]
   }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Lsh
+import graft.sources.{PagesGen, Pages, TestData}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan assertions (SURVEY.md §4.1): the optimizations we rely on
+ * at 100 TB must actually appear in the plan — column pruning keeps the
+ * html binary out of scans, filters push to parquet, small dims broadcast,
+ * AQE is live. These are the "would this survive a 100× scale-up" checks.
+ */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+  private val cfg = DedupConfig.test
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning: text-only pipeline never scans the html binary") {
+    val dir = java.nio.file.Files.createTempDirectory("pages").toString + "/pages.parquet"
+    PagesGen.pages(spark, 50, cfg).toDF().write.parquet(dir)
+    val scan = Pages.scan(spark, dir)
+    val shingles = Lsh.shingled(
+      Pages.withDocId(scan).select("doc_id", "text"), cfg)
+    // judge the SCAN, not the logical Relation (which always prints all cols)
+    val plan = physicalPlan(shingles)
+    val readSchema = plan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(!readSchema.contains("html"),
+      s"html column must be pruned from the scan, read: $readSchema")
+    assert(readSchema.contains("text"))
+  }
+
+  test("predicate pushdown: lang filter reaches the parquet scan") {
+    val df = TestData.documents(spark, "/root/testdata/sf0.001")
+      .where(col("lang") === "en")
+      .select("doc_id")
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"expected pushed lang filter:\n$plan")
+  }
+
+  test("broadcast join: dimension side of q19 broadcasts") {
+    val plan = physicalPlan(
+      SparkEntry.queries("q19_seg_join")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("AQE enabled: adaptive plans wrap the pipeline") {
+    val df = Lsh.minhashDupPairs(
+      TestData.documents(spark, "/root/testdata/sf0.001"), cfg)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(physicalPlan(df).contains("AdaptiveSparkPlan"))
+  }
+
+  test("hot-key census join is a broadcast, not a shuffle join") {
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+    val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)
+    val plan = physicalPlan(Lsh.saltBandKeys(keys, cfg))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"hot-key map must broadcast:\n$plan")
+  }
+
+  test("signature projection stays inside whole-stage codegen, evaluated once") {
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+    val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)
+    val plan = physicalPlan(keys)
+    // `*(n)` prefixes mark WholeStageCodegen stages in executedPlan rendering
+    val sigLine = plan.split("\n").find(_.contains("minhash_sig")).getOrElse("")
+    assert(sigLine.trim.stripPrefix("+- ").startsWith("*("),
+      s"signature projection must be codegen'd:\n$plan")
+    // the sig chain must be evaluated exactly once (no Filter/DataFilter dup)
+    assert(plan.split("minhash_sig", -1).length - 1 === 1,
+      s"minhash_sig must appear exactly once in the plan:\n$plan")
+  }
+}

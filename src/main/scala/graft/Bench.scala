@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Driver-run benchmark harness: times every SparkEntry query at
+ * SPARK_GRAFT_SF_DIR under local[SPARK_GRAFT_CPUS] and prints ONE JSON
+ * line (driver contract keys metric/value/unit/queries/sf, plus extra
+ * informational keys: cpus, docs, pipeline_sec, docs_per_sec — the
+ * headline dedup-throughput number is the full three-family EAC pipeline
+ * from raw documents to clusters, docs / pipeline_sec).
+ *
+ * Scaling protocol (BENCH/BASELINE.md): run twice with SPARK_GRAFT_CPUS=8
+ * and 32 on the same input; efficiency = (T8 / T32) / 4.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[T](f: => T): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // JVM/page-cache warmup on the smallest query, excluded from timings
+    try SparkEntry.queries("q01_doc_stats")(spark, sfDir).count() catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+    }
+
+    // headline: full EAC pipeline (all 3 families -> clusters), docs/sec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val pipelineSec = time {
+      SparkEntry.queries("q22_eac_clusters")(spark, sfDir).count()
+    }
+    val docsPerSec = docs / pipelineSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""cpus":$cpus,"docs":$docs,"pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec}""")
     spark.stop()
   }
 }

@@ -111,17 +111,9 @@ object SparkEntry {
     "q17_ann_lsh_topk" -> ((s, dir) =>
       AnnOps.lshTopK(TestData.embeddings(s, dir), 5).orderBy("vec_id", "rank")),
 
-    // embedding-cosine near-dup pairs, brute-force (exact oracle form).
-    "q18_cosine_dups" -> ((s, dir) => {
-      val e = TestData.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
-      a.crossJoin(broadcast(b)).where(col("a") < col("b"))
-        .withColumn("cos", graft.functions.Fns.cosineSim(col("ea"), col("eb")))
-        .where(col("cos") >= 0.4)
-        .select("a", "b", "cos")
-        .orderBy("a", "b")
-    }),
+    // embedding-cosine near-dup pairs: exact (bound-prefilter + verify).
+    "q18_cosine_dups" -> ((s, dir) =>
+      AnnOps.bruteCosinePairs(TestData.embeddings(s, dir), 0.4).orderBy("a", "b")),
 
     // E1 — extractor round-trip: plain canonical text wrapped as html bytes
     // must extract byte-identically (the per-url invariant's query form).

@@ -353,18 +353,27 @@ case class EmbedSimHash(child: Expression, bits: Int, seed: Long)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "embed_simhash"
 
+  // Rademacher signs cached per dimensionality (deterministic from the
+  // hash, so a racy re-init across local task threads is benign).
+  @transient private var signs: Array[Array[Double]] = _
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    if (signs == null || (signs.length > 0 && signs(0).length != dim)) {
+      signs = Array.tabulate(bits, dim)((b, i) =>
+        if ((Xxh.hashLong((b.toLong << 32) | i.toLong, seed) & 1L) == 1L) 1.0 else -1.0)
+    }
+    signs
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val sg = signsFor(v.length)
     var fp = 0L
     var b = 0
     while (b < bits) {
       var s = 0.0
+      val row = sg(b)
       var i = 0
-      while (i < v.length) {
-        val r = if ((Xxh.hashLong((b.toLong << 32) | i.toLong, seed) & 1L) == 1L) 1.0 else -1.0
-        s += v(i) * r
-        i += 1
-      }
+      while (i < v.length) { s += v(i) * row(i); i += 1 }
       if (s > 0) fp |= (1L << b)
       b += 1
     }

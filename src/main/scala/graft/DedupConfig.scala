@@ -29,6 +29,8 @@ final case class DedupConfig(
     simhashBlocks: Int = 6,
     gramLen: Int = 100,
     winnowW: Int = 50,
+    substrMinFrac: Double = 0.2,
+    substrShards: Int = 64,
     saltMaxBucket: Int = 1000,
     seed: Long = 0x5EAC15DL) {
 

@@ -28,7 +28,8 @@ object ConnectedComponents {
     sym.withColumn("m", least(min("dst").over(w), col("src")))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
+    // no distinct here: small-star dedupes right after; one less shuffle
+    // per round (driver-synced rounds are the serial term in scaling)
   }
 
   /** One small-star round: every node and its smaller neighbors reattach to
@@ -74,7 +75,10 @@ object ConnectedComponents {
     var round = 0
     var converged = prevN == 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // lazy checkpoint: the fingerprint aggregation below is the action
+      // that materializes it — one Spark job per round, not two (driver
+      // round-trip latency is the serial term that caps scaling)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val (n, h) = fingerprint(next)
       converged = n == prevN && h == prevH
       prevN = n; prevH = h

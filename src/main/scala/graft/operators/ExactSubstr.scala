@@ -103,12 +103,41 @@ object ExactSubstr {
   }
 
   /** X2 — candidate doc pairs from gram collisions, with one deterministic
-    * witness offset pair (minimal offsets) per (a, b). */
-  def candidates(grams: Dataset[Gram]): DataFrame = {
-    val x = grams.toDF("gram", "a", "off_a")
-    val y = grams.toDF("gram", "b", "off_b")
-    x.join(y, "gram")
+    * witness offset pair (minimal offsets) per (a, b).
+    *
+    * Hot-gram discipline (same contract as Lsh hot buckets): a gram shared
+    * by more docs than saltMaxBucket — web boilerplate — would enumerate a
+    * quadratic clique; such groups split into salt lanes (per-(doc,gram)
+    * salt so multiple shared grams cross-link lanes) and each lane emits a
+    * STAR to its minimal (doc, off) witness. */
+  def candidates(grams: Dataset[Gram], cfg: DedupConfig): DataFrame = {
+    val g = grams.toDF("gram", "doc_id", "off")
+    val cap = math.max(1, cfg.saltMaxBucket)
+    val hotGrams = g.groupBy("gram").count()
+      .where(col("count") > cap)
+      .select(col("gram"), ceil(col("count") / cap).cast("int").as("nsalt"))
+    val salted = g.join(broadcast(hotGrams), Seq("gram"), "left")
+      .withColumn("is_hot", col("nsalt").isNotNull)
+      .withColumn("salt",
+        when(col("nsalt").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("doc_id"), col("gram")), col("nsalt")).cast("int")))
+      .drop("nsalt")
+
+    val cold = salted.where(!col("is_hot"))
+    val coldPairs = cold.select(col("gram"), col("salt"), col("doc_id").as("a"), col("off").as("off_a"))
+      .join(cold.select(col("gram"), col("salt"), col("doc_id").as("b"), col("off").as("off_b")),
+            Seq("gram", "salt"))
       .where(col("a") < col("b"))
+      .select("a", "b", "off_a", "off_b")
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram", "salt")
+    val hotPairs = salted.where(col("is_hot"))
+      .withColumn("hub", min(struct(col("doc_id"), col("off"))).over(w))
+      .where(col("doc_id") =!= col("hub.doc_id"))
+      .select(col("hub.doc_id").as("a"), col("doc_id").as("b"),
+              col("hub.off").as("off_a"), col("off").as("off_b"))
+
+    coldPairs.unionByName(hotPairs)
       .groupBy("a", "b")
       .agg(min(struct(col("off_a"), col("off_b"))).as("w"))
       .select(col("a"), col("b"), col("w.off_a").as("off_a"), col("w.off_b").as("off_b"))
@@ -122,6 +151,7 @@ object ExactSubstr {
     val ta = docs.select(col("doc_id").as("a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
     val L = cfg.gramLen
+    val frac = cfg.substrMinFrac
     cands.join(ta, "a").join(tb, "b")
       .select(col("a"), col("b"), col("off_a"), col("off_b"), col("text_a"), col("text_b"))
       .as[(Long, Long, Int, Int, String, String)]
@@ -129,7 +159,11 @@ object ExactSubstr {
         val ba = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val bb = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val len = matchedRun(ba, oa, bb, ob, L)
-        if (len >= L) Iterator.single(SubstrPair(a, b, len)) else Iterator.empty
+        // absolute floor AND a fraction of the shorter doc: docs sharing
+        // only a boilerplate run (cookie banner) are not duplicates
+        if (len >= L && len >= frac * math.min(ba.length, bb.length))
+          Iterator.single(SubstrPair(a, b, len))
+        else Iterator.empty
       }
   }
 
@@ -157,7 +191,13 @@ object ExactSubstr {
     val spark = docs.sparkSession
     import spark.implicits._
     val L = cfg.gramLen
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    // Shard composition is pinned by (configHash): hash-repartition on
+    // doc_id into cfg.substrShards shards, so "same config ⇒ same pairs"
+    // holds at ANY parallelism (upstream partitioning must not leak into
+    // which repeats this route can see — the N-vs-4N-executor invariant).
+    docs.select(col("doc_id"), col("text"))
+      .repartition(cfg.substrShards, col("doc_id"))
+      .as[(Long, String)].mapPartitions { it =>
       val shard = it.filter(_._2 != null).toArray
       if (shard.length < 2) Iterator.empty
       else {
@@ -215,7 +255,13 @@ object ExactSubstr {
           i += 1
         }
         flush()
-        best.iterator.map { case ((a, b), l) => SubstrPair(a, b, l) }
+        // same dual criterion as the gram route: absolute floor AND a
+        // fraction of the shorter doc
+        val lenOf = shard.map(s => s._1 -> s._2.getBytes(java.nio.charset.StandardCharsets.UTF_8).length).toMap
+        best.iterator.collect { case ((a, b), l)
+          if l >= cfg.substrMinFrac * math.min(lenOf(a), lenOf(b)) =>
+          SubstrPair(a, b, l)
+        }
       }
     }
   }
@@ -240,7 +286,7 @@ object ExactSubstr {
   /** Full substring family: union of the cross-shard gram route and the
     * within-shard suffix-array route; (a, b, match_len) with the max run. */
   def substrDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg)), docs, cfg).toDF()
+    val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg), cfg), docs, cfg).toDF()
     val shardRoute = shardRepeats(docs, cfg).toDF()
     gramRoute.unionByName(shardRoute)
       .groupBy("a", "b")

@@ -89,16 +89,24 @@ object Lsh {
       .where(col("count") > cfg.saltMaxBucket)
       .select(col("band"), col("key"),
               ceil(col("count") / cfg.saltMaxBucket).cast("int").as("nsalt"))
+    // Salt depends on (doc, band) — NOT doc alone. Near-identical docs
+    // share every band key, so a band-independent salt would cut the hot
+    // clique into the SAME lanes in all bands and permanently disconnect
+    // its cluster; per-band salting cuts differently in each band, so
+    // lanes cross-link and connectivity survives with P ≈ 1-(1-1/s)^bands.
     bandKeys
       .join(broadcast(hot), Seq("band", "key"), "left")
+      .withColumn("is_hot", col("nsalt").isNotNull)
       .withColumn("salt",
         when(col("nsalt").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int")))
+          .otherwise(pmod(xxhash64(col("doc_id"), col("band")), col("nsalt")).cast("int")))
       .drop("nsalt")
   }
 
-  /** Estimated pairs not generated due to salting: Σ_hot C(n,2) − s·C(n/s,2).
-    * Written to the metrics table by the pipeline runner (no silent caps). */
+  /** Estimated per-band pairs not enumerated due to hot-lane starring:
+    * Σ_hot C(n,2) − (n − s) (a salted bucket of n docs in s lanes emits
+    * n−s star pairs). Written to the metrics table by the pipeline runner —
+    * the cap is loud, never silent. */
   def saltedDropEstimate(bandKeys: DataFrame, cfg: DedupConfig): Long = {
     if (cfg.saltMaxBucket <= 0) return 0L
     val hot = bandKeys.groupBy("band", "key").count()
@@ -106,20 +114,39 @@ object Lsh {
       .select(col("count").cast("double").as("n"),
               ceil(col("count") / cfg.saltMaxBucket).cast("double").as("s"))
     hot.select(
-      coalesce(sum(col("n") * (col("n") - 1) / 2 -
-        col("s") * ((col("n") / col("s")) * (col("n") / col("s") - 1) / 2)), lit(0.0)))
+      coalesce(sum(col("n") * (col("n") - 1) / 2 - (col("n") - col("s"))), lit(0.0)))
       .head().getDouble(0).toLong
   }
 
   /** J1 — bucket self-join: equi-join on (band, key, salt), canonical a<b,
-    * multi-band hits collapsed with a count. */
+    * multi-band hits collapsed with a count.
+    *
+    * Hot-lane discipline: buckets the census marked hot emit a STAR (every
+    * member paired with the lane minimum), not the full clique — a lane of
+    * 1000 near-identical boilerplate docs yields 999 pairs instead of
+    * 500k. Cluster connectivity is preserved (star spans the lane; lanes
+    * cross-link across bands via per-band salts); the pairs not enumerated
+    * are exactly those already transitively connected through the hub.
+    * A web-scale boilerplate clique (10^9 docs ⇒ 10^18 pairs) is
+    * un-enumerable — every production dedup caps it; ours caps loudly
+    * (saltedDropEstimate) instead of OOMing quietly. */
   def candidatePairs(saltedKeys: DataFrame): DataFrame = {
-    val x = saltedKeys.select(col("band"), col("key"), col("salt"), col("doc_id").as("a"))
-    val y = saltedKeys.select(col("band"), col("key"), col("salt"), col("doc_id").as("b"))
-    x.join(y, Seq("band", "key", "salt"))
+    val hasHot = saltedKeys.columns.contains("is_hot")
+    val cold = if (hasHot) saltedKeys.where(!col("is_hot")) else saltedKeys
+    val x = cold.select(col("band"), col("key"), col("salt"), col("doc_id").as("a"))
+    val y = cold.select(col("band"), col("key"), col("salt"), col("doc_id").as("b"))
+    val coldPairs = x.join(y, Seq("band", "key", "salt"))
       .where(col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("band_hits"))
+      .select("a", "b")
+    val pairs = if (!hasHot) coldPairs else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key", "salt")
+      val hotPairs = saltedKeys.where(col("is_hot"))
+        .withColumn("m", min("doc_id").over(w))
+        .where(col("doc_id") =!= col("m"))
+        .select(col("m").as("a"), col("doc_id").as("b"))
+      coldPairs.unionByName(hotPairs)
+    }
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
   }
 
   /** V1 — exact-Jaccard verification: join candidate pairs back to shingle

@@ -1,0 +1,145 @@
+package graft.tools
+
+import graft.DedupConfig
+import graft.operators.{ConnectedComponents, ExactSubstr, Lsh}
+import graft.run.DedupMain
+import graft.sources.PagesGen
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scaling-efficiency evidence (north rule: ≥0.8 throughput efficiency from
+ * N to 4N executors; sandbox protocol per the task brief: same job, same
+ * input, local[8] vs local[32]).
+ *
+ * The corpus is a deterministic PagesGen table written ONCE to a shared
+ * path (64 parquet files so both parallelism levels see ≥64 input splits),
+ * sized to be compute-bound (signature math dominates, not session
+ * overhead). The job is the full pipeline: E1 extraction where text is
+ * null → MinHash + SimHash + substring families → verification →
+ * connected components → cluster count.
+ *
+ *   SPARK_GRAFT_CPUS=8  sbt "runMain graft.tools.ScalingBench"
+ *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScalingBench"
+ *   efficiency = (T_8 / T_32) / 4
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "60000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cfg = DedupConfig.test
+    val corpus = s"/tmp/graft_scale_corpus_$n"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // generate once; both parallelism levels read the identical files
+    if (!new java.io.File(corpus + "/_SUCCESS").exists()) {
+      PagesGen.pages(spark, n, cfg).toDF()
+        .repartition(64)
+        .write.mode("overwrite").parquet(corpus)
+    }
+
+    def pipelineCount(): Long = {
+      val docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      val mh = Lsh.minhashDupPairs(docs, cfg)
+      val sh = Lsh.simhashDupPairs(docs, cfg)
+      val sub = ExactSubstr.substrDupPairs(docs, cfg)
+      val t0 = System.nanoTime()
+      val pairs = Lsh.dupPairs(mh, sh, sub).select("a", "b").localCheckpoint()
+      val nPairs = pairs.count()
+      val t1 = System.nanoTime()
+      val out = ConnectedComponents.assign(pairs).count()
+      val t2 = System.nanoTime()
+      println(f"  phase pairs=${(t1 - t0) / 1e9}%.1fs ($nPairs) cc=${(t2 - t1) / 1e9}%.1fs")
+      out
+    }
+
+    // pure-CPU kernel mode: shingle+minhash+simhash only (no shuffle) —
+    // isolates thread scaling of the compute from shared-memory-bandwidth
+    // effects in the shuffle stages
+    if (sys.env.contains("SPARK_GRAFT_KERNEL")) {
+      import org.apache.spark.sql.functions.{bit_xor, col, count, lit, size, xxhash64}
+      val docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      // aggregate over the signature values so column pruning can't elide
+      // the computation under a bare count
+      val build: () => Long = sys.env("SPARK_GRAFT_KERNEL") match {
+        case "minhash" => () =>
+          Lsh.signatures(Lsh.shingled(docs, cfg), cfg)
+            .agg(bit_xor(xxhash64(col("minhash"))), count(lit(1))).head().getLong(1)
+        case "simhash" => () =>
+          Lsh.simhashes(docs, cfg)
+            .agg(bit_xor(col("simhash")), count(lit(1))).head().getLong(1)
+        case "shingle" => () =>
+          Lsh.shingled(docs, cfg)
+            .agg(bit_xor(size(col("shingles"))), count(lit(1))).head().getLong(1)
+        case "extract" => () =>
+          docs.agg(bit_xor(xxhash64(col("text"))), count(lit(1))).head().getLong(1)
+        case _ => () =>
+          Lsh.signatures(Lsh.shingled(docs, cfg), cfg)
+            .join(Lsh.simhashes(docs, cfg), "doc_id")
+            .agg(bit_xor(xxhash64(col("minhash"))), bit_xor(col("simhash")), count(lit(1)))
+            .head().getLong(2)
+      }
+      build() // warm
+      var rows = 0L
+      val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>
+        val t0 = System.nanoTime()
+        rows = build()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val wall = walls.min
+      println(s"""{"bench":"kernel-${sys.env("SPARK_GRAFT_KERNEL")}","docs":$rows,""" +
+        s""""cpus":$cpus,"wall_sec":$wall,"walls":[${walls.mkString(",")}],""" +
+        s""""docs_per_sec":${rows / wall}}""")
+      spark.stop(); return
+    }
+
+    // stage-by-stage timing mode for bottleneck hunting
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      val docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"STAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      }
+      val sh = Lsh.shingled(docs, cfg)
+      t("shingle+sig") { Lsh.signatures(sh, cfg).count() }
+      val keys = Lsh.saltBandKeys(Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg), cfg)
+      t("band+salt") { keys.count() }
+      val cands = Lsh.candidatePairs(keys)
+      t("candidates") { cands.count() }
+      t("verify") { Lsh.verifyJaccard(cands, sh, cfg).count() }
+      t("simhashfam") { Lsh.simhashDupPairs(docs, cfg).count() }
+      t("substr") { ExactSubstr.substrDupPairs(docs, cfg).count() }
+      t("cc") {
+        val mh = Lsh.minhashDupPairs(docs, cfg)
+        ConnectedComponents.assign(mh.select("a", "b")).count()
+      }
+      spark.stop(); return
+    }
+
+    // warm run (JIT + codegen), then 3 measured runs; report all and take
+    // the MIN — this box shows 2-20x noisy-neighbor variance between
+    // identical runs, and min-of-k is the standard noise-robust throughput
+    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) pipelineCount()
+    var clustered = 0L
+    val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>
+      val t0 = System.nanoTime()
+      clustered = pipelineCount()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = walls.min
+    println(s"""{"bench":"scaling","docs":$n,"cpus":$cpus,"wall_sec":$best,""" +
+      s""""walls":[${walls.mkString(",")}],""" +
+      s""""docs_per_sec":${n / best},"clustered_docs":$clustered}""")
+    spark.stop()
+  }
+}

@@ -53,24 +53,35 @@ class ExactSubstrSpec extends SparkSuite {
       .filter(_.kind == "substr").map(p => (p.a, p.b)).toSet
     assert(truth.nonEmpty)
     val found = ExactSubstr.verifyExtend(
-      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg)), docs, cfg)
+      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg), cfg), docs, cfg)
       .collect().map(p => (p.a, p.b)).toSet
     val recall = (found intersect truth).size.toDouble / truth.size
     assert(recall >= 0.99, s"recall=$recall missing=${truth diff found}")
     // every reported run really is >= gramLen (exactness)
     ExactSubstr.verifyExtend(
-      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg)), docs, cfg)
+      ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg), cfg), docs, cfg)
       .collect().foreach(p => assert(p.match_len >= cfg.gramLen))
   }
 
   test("shard route finds co-partitioned repeats >= gramLen") {
-    val docs = PagesGen.docs(spark, 500, cfg).toDF().coalesce(1)
+    // single pinned shard ⇒ every pair is co-partitioned
+    val oneShard = cfg.copy(substrShards = 1)
+    val docs = PagesGen.docs(spark, 500, cfg).toDF()
     val truth = PagesGen.truthPairsLocal(500, cfg)
       .filter(_.kind == "substr").map(p => (p.a, p.b)).toSet
-    val found = ExactSubstr.shardRepeats(docs, cfg)
+    val found = ExactSubstr.shardRepeats(docs, oneShard)
       .collect().map(p => (p.a, p.b)).toSet
     val recall = (found intersect truth).size.toDouble / truth.size
     assert(recall >= 0.99, s"recall=$recall missing=${truth diff found}")
+  }
+
+  test("shard route output is independent of input parallelism") {
+    val docs = PagesGen.docs(spark, 400, cfg).toDF()
+    val a = ExactSubstr.shardRepeats(docs.repartition(3), cfg)
+      .collect().map(p => (p.a, p.b, p.match_len)).toSet
+    val b = ExactSubstr.shardRepeats(docs.repartition(17), cfg)
+      .collect().map(p => (p.a, p.b, p.match_len)).toSet
+    assert(a === b)
   }
 
   test("combined family is the union with max run length") {

@@ -159,6 +159,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"))
         .orderBy("doc_id")),
 
+    // E2 — normalize-for-shingling (lowercase + digit folding).
+    "q25_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(array_distinct(TextOps.tokens(
+          TextOps.normalizeForShingling(col("text"))))).cast("long").as("n_norm_tokens"))
+        .orderBy("doc_id")),
+
+    // A2 — exact vs HLL distinct shingle cardinality (rows-only: sketch
+    // values are engine-specific).
+    "q26_shingle_card" -> ((s, dir) =>
+      Lsh.shingled(docs(s, dir), cfg)
+        .select(explode(col("shingles")).as("sh"))
+        .agg(countDistinct(col("sh")).as("n_exact"),
+             approx_count_distinct(col("sh"), 0.02).as("n_approx"))),
+
+    // A5 — set ops across signature families: intersect / exceptAll of the
+    // MinHash and SimHash verified pair sets (rows-only: hash-dependent).
+    "q27_family_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mh = Lsh.minhashDupPairs(d, cfg).select("a", "b")
+      val sh = Lsh.simhashDupPairs(d, cfg).select("a", "b")
+      val both = mh.intersect(sh).count()
+      val mhOnly = mh.exceptAll(sh).count()
+      val shOnly = sh.exceptAll(mh).count()
+      d.sparkSession.range(1).select(
+        lit(both).as("n_both"), lit(mhOnly).as("n_minhash_only"),
+        lit(shOnly).as("n_simhash_only"))
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -264,6 +293,11 @@ object SparkEntry {
       ("SELECT count(*) AS n_docs, count(*) AS n_roundtrip_equal FROM documents"),
     "q24_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id",
+    "q25_normalize" ->
+      """SELECT doc_id, len(list_distinct(list_filter(
+        |  string_split(lower(regexp_replace(text, '[0-9]+', '0', 'g')), ' '),
+        |  x -> len(x) > 0))) AS n_norm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q19_seg_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

@@ -55,7 +55,7 @@ object ExactSubstr {
 
   /** Winnowing [Schleimer03]: positions of the minimal hash (rightmost on
     * ties) in every `w`-window of gram starts; O(n) monotonic deque. */
-  private[operators] def winnowPositions(hashes: Array[Long], w: Int): Array[Int] = {
+  private[graft] def winnowPositions(hashes: Array[Long], w: Int): Array[Int] = {
     val n = hashes.length
     if (n == 0) return Array.emptyIntArray
     if (n <= w) {

@@ -18,6 +18,14 @@ object TextOps {
   /** Non-empty whitespace tokens of a text column. */
   def tokens(text: Column): Column = filter(split(text, " "), w => length(w) > lit(0))
 
+  /** E2 — normalize-for-shingling ([Lee22] §3 preprocessing): lowercase +
+    * digit folding (all runs of digits become '0'), pure builtins so it
+    * rides whole-stage codegen and is 1:1 replicable in the oracle. */
+  def normalizeForShingling(text: Column, foldDigits: Boolean = true): Column = {
+    val lowered = lower(text)
+    if (foldDigits) regexp_replace(lowered, "[0-9]+", "0") else lowered
+  }
+
   /** Exact dedup survivors: one representative (min doc_id) per distinct
     * text. Grouping key is xxhash64(text) so the shuffle moves 8-byte keys,
     * not full documents (at 100 TB the text column never shuffles); the

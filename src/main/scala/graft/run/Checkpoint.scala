@@ -109,3 +109,24 @@ object Lineage {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_lineage")
 }
+
+/** K2/J3 — partition-level resume filters: restrict the input scan to
+  * partitions not yet processed at this configHash. Local parquet mirrors
+  * the prod Iceberg layout (`days(warc_ts)` partitioning), so the same
+  * anti-join prunes files there and data-files here. */
+object Resume {
+  import org.apache.spark.sql.functions.{col, date_trunc}
+
+  /** Pages not belonging to an already-done crawl day (left anti join —
+    * the op the resume gate uses for partial-partition restarts). */
+  def pendingDays(pages: org.apache.spark.sql.DataFrame,
+                  doneDays: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pages.withColumn("warc_day", date_trunc("day", col("warc_ts")))
+      .join(doneDays.select(col("warc_day")), Seq("warc_day"), "left_anti")
+      .drop("warc_day")
+
+  /** Days recorded done in a lineage table for a config. */
+  def doneDays(lineage: org.apache.spark.sql.DataFrame, configHash: String): org.apache.spark.sql.DataFrame =
+    lineage.where(col("config_hash") === configHash && col("status") === "ok")
+      .select(col("warc_day")).distinct()
+}

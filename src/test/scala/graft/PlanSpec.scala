@@ -61,6 +61,20 @@ class PlanSpec extends SparkSuite {
       s"hot-key map must broadcast:\n$plan")
   }
 
+  test("partition pruning: warc_day filter prunes the partitioned layout") {
+    val root = java.nio.file.Files.createTempDirectory("ppart").toString + "/pages"
+    val pages = PagesGen.pages(spark, 60, cfg).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) + (col("url").substr(13, 9).cast("long") % 3) * 86400L))
+      .withColumn("warc_day", date_format(date_trunc("day", col("warc_ts")), "yyyy-MM-dd"))
+    graft.sources.TableIO.write(pages, root, partitionBy = Seq("warc_day"))
+    val scan = spark.read.parquet(root).where(col("warc_day") === "2024-01-02").select("url")
+    val plan = physicalPlan(scan)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("warc_day"),
+      s"expected partition filter:\n$plan")
+    assert(scan.count() > 0)
+  }
+
   test("signature projection stays inside whole-stage codegen, evaluated once") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
     val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)

@@ -188,6 +188,13 @@ object SparkEntry {
         lit(shOnly).as("n_simhash_only"))
     }),
 
+    // document fingerprinting — winnowed rolling-hash fingerprint counts
+    // (rows-only: custom hash family).
+    "q28_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir), cfg)
+        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"))
+        .orderBy("doc_id")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -249,10 +256,11 @@ object SparkEntry {
     "q09_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q10_token_stats" ->
-      """SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq_tokens,
-        |length(text) AS n_chars_text
-        |FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
-        |      FROM documents) ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq_tokens,
+         |len(regexp_extract_all(text, '${TextOps.bpeIshPattern}')) AS n_bpeish_tokens,
+         |length(text) AS n_chars_text
+         |FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
     "q11_quality" ->
       s"""WITH f AS (
          |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,

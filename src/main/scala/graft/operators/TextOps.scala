@@ -45,6 +45,12 @@ object TextOps {
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
         sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant_docs"))
 
+  /** BPE-ish tokenizer regex (brief: "whitespace + a BPE-ish regex"):
+    * letter runs, digit runs, and single non-alphanumeric marks — the
+    * coarse shape of byte-pair pretokenization. RE2/Java-regex-portable
+    * so the oracle replicates it verbatim. */
+  val bpeIshPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
   /** Per-doc token statistics (token counting op). */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -52,6 +58,8 @@ object TextOps {
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars_text"))
   }
 
@@ -109,4 +117,13 @@ object TextOps {
   /** Language-ID confusion rollup: (lang, predicted, n_docs). */
   def langIdRollup(docs: DataFrame): DataFrame =
     langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+
+  /** Document fingerprinting (brief: rolling hash): the winnowed
+    * content-defined rolling-hash fingerprint set per doc — the same
+    * family the exact-substring index uses, exposed as a per-doc feature
+    * (doc_id, fingerprints sorted asc). */
+  def fingerprints(docs: DataFrame, cfg: graft.DedupConfig): DataFrame =
+    ExactSubstr.gramIndex(docs, cfg)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("gram"))).as("fingerprints"))
 }

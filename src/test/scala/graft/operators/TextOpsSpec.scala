@@ -28,12 +28,12 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getLong(3) === 2L) // redundant docs
   }
 
-  test("tokenStats counts tokens, uniques, chars") {
+  test("tokenStats counts tokens, uniques, bpe-ish tokens, chars") {
     val m = TextOps.tokenStats(corpus).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(m(1L) === ((6L, 5L, 22L)))
-    assert(m(4L) === ((0L, 0L, 0L)))
-    assert(m(5L) === ((3L, 1L, 8L)))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((6L, 5L, 6L, 22L)))  // "the cat sat on the mat": 6 letter runs
+    assert(m(4L) === ((0L, 0L, 0L, 0L)))
+    assert(m(5L) === ((3L, 1L, 3L, 8L)))
   }
 
   test("qualityFeatures exact ratios and null on empty doc") {

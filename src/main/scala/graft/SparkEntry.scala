@@ -195,6 +195,16 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"))
         .orderBy("doc_id")),
 
+    // THE dedup op (MinHash family form so the oracle can replicate it):
+    // input minus non-canonical cluster members.
+    "q29_dedupe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val drop = ConnectedComponents.assign(Lsh.minhashDupPairs(d, cfg))
+        .where(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id")
+      d.join(drop, Seq("doc_id"), "left_anti").select("doc_id").orderBy("doc_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -301,6 +311,19 @@ object SparkEntry {
       ("SELECT count(*) AS n_docs, count(*) AS n_roundtrip_equal FROM documents"),
     "q24_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id",
+    "q29_dedupe" ->
+      s"""WITH RECURSIVE sh AS ($shingleSetsSql),
+         |pairs AS (SELECT a, b FROM ($brutePairsSql)),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+         |SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q25_normalize" ->
       """SELECT doc_id, len(list_distinct(list_filter(
         |  string_split(lower(regexp_replace(text, '[0-9]+', '0', 'g')), ' '),

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.PagesGen
+import org.apache.spark.sql.functions._
+
+/** The façade (`graft.Dedup`) — the API a user of the reference switches
+  * to: pairs, clusters, and the dedupe operation itself. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+  private val cfg = DedupConfig.test
+  private lazy val docs = PagesGen.docs(spark, 300, cfg).toDF()
+
+  test("dedupe keeps exactly canonical members plus singletons") {
+    val cl = Dedup.clusters(docs, cfg)
+      .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
+    val kept = Dedup.dedupe(docs, cfg).select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val expected = all.filter(id => cl.getOrElse(id, true))
+    assert(kept === expected)
+    assert(kept.size < all.size, "planted corpus must actually shrink")
+  }
+
+  test("dedupe is idempotent") {
+    val once = Dedup.dedupe(docs, cfg)
+    val twice = Dedup.dedupe(once, cfg)
+    assert(twice.count() === once.count())
+  }
+
+  test("clusters carry all three evidence families on the planted corpus") {
+    val fams = Dedup.dupPairs(docs, cfg)
+      .select("family").distinct().as[String].collect().toSet
+    assert(fams === Set("minhash", "simhash", "substr"))
+  }
+}

@@ -30,6 +30,18 @@ object TableIO {
       df.writeTo(ref).using("iceberg").createOrReplace()
     }
   }
+
+  /** Bucketed managed table (prod: Iceberg `bucket(n, col)`; locally the
+    * session catalog's parquet bucketing). Two tables bucketed the same way
+    * join WITHOUT a shuffle — the co-located-join layout for the 100 TB
+    * signature/shingle tables that are re-joined every incremental run. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, byCol: String,
+                    sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, byCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }
 
 /** Canonical `pages` shape (BASELINE.json:15) and adapters onto it. */

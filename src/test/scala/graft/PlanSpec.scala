@@ -75,6 +75,36 @@ class PlanSpec extends SparkSuite {
     assert(scan.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located join layout)") {
+    Seq("shingled_b", "sigs_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+    graft.sources.TableIO.writeBucketed(
+      Lsh.shingled(docs, cfg), "shingled_b", 8, "doc_id")
+    graft.sources.TableIO.writeBucketed(
+      Lsh.signatures(Lsh.shingled(docs, cfg), cfg), "sigs_b", 8, "doc_id")
+    // force the sort-merge path (tiny test tables would broadcast, which
+    // is the right call at this size but doesn't exercise bucketing)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("shingled_b").join(spark.table("sigs_b"), "doc_id")
+      val plan = physicalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("signature projection stays inside whole-stage codegen, evaluated once") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
     val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)

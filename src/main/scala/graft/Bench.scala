@@ -36,8 +36,14 @@ object Bench {
     // JVM/page-cache warmup on the smallest query, excluded from timings
     try SparkEntry.queries("q01_doc_stats")(spark, sfDir).count() catch { case _: Throwable => }
 
+    // a failed query must NOT masquerade as an ordinary timing: record -1
+    // for it and list it under "errors" in the JSON
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      var failed = false
+      val sec = time { try fn(spark, sfDir).count() catch { case _: Throwable => failed = true } }
+      if (failed) errors += name
+      name -> (if (failed) -1.0 else sec)
     }
 
     // headline: full EAC pipeline (all 3 families -> clusters), docs/sec
@@ -48,8 +54,9 @@ object Bench {
     val docsPerSec = docs / pipelineSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""cpus":$cpus,"docs":$docs,"pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec}""")
     spark.stop()
   }

@@ -125,14 +125,20 @@ object HtmlExtract {
     }
   }
 
-  /** Collapse every whitespace run (incl. NBSP) to one space; trim ends. */
+  /** Collapse every whitespace run to one space; trim ends. NBSP (U+00A0)
+    * counts as whitespace here even though Character.isWhitespace says no:
+    * real web HTML carries raw C2 A0 bytes at least as often as the &nbsp;
+    * entity (mapped to plain space above) and both must extract identically.
+    * (The check used to be a raw invisible NBSP literal, which read as a
+    * plain space — now an explicit escape; behavior unchanged, goldens
+    * untouched.) */
   private def collapseWhitespace(s: CharSequence): String = {
     val out = new java.lang.StringBuilder(s.length)
     var pending = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c) || c == ' ') {
+      if (Character.isWhitespace(c) || c == '\u00A0') {
         if (out.length > 0) pending = true
       } else {
         if (pending) { out.append(' '); pending = false }

@@ -56,12 +56,22 @@ object ConnectedComponents {
     (row.getLong(0), row.getLong(1))
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Every this-many rounds, the edge set is checkpointed *reliably* (to
+    * `sparkContext.getCheckpointDir`, when one is set) instead of locally:
+    * localCheckpoint blocks live on executors, so on a real cluster one
+    * executor loss mid-iteration would kill the job unrecoverably (truncated
+    * lineage can't recompute). SURVEY §4.3 discipline. */
+  private val ReliableCheckpointEvery = 5
+
   /**
    * G1–G4: dup pairs (a, b) → component assignment (doc_id, cluster_id),
    * cluster_id = min doc_id of the component. Only nodes that appear in at
    * least one pair are emitted (singletons are not duplicates).
    */
   def assign(pairs: DataFrame, maxRoundsHint: Option[Int] = None): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     var edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -78,13 +88,21 @@ object ConnectedComponents {
       // lazy checkpoint: the fingerprint aggregation below is the action
       // that materializes it — one Spark job per round, not two (driver
       // round-trip latency is the serial term that caps scaling)
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val stepped = smallStar(largeStar(edges))
+      val next =
+        if (reliable && round % ReliableCheckpointEvery == ReliableCheckpointEvery - 1)
+          stepped.checkpoint(false) // durable: survives executor loss
+        else stepped.localCheckpoint(false)
       val (n, h) = fingerprint(next)
       converged = n == prevN && h == prevH
       prevN = n; prevH = h
       edges = next
       round += 1
     }
+    if (!converged)
+      log.warn(s"connected components did NOT converge in $maxRounds rounds " +
+        s"($prevN edges at exit) — emitted clusters may be split; " +
+        "raise maxRoundsHint or investigate the pair graph")
 
     // Converged forest is a star per component centered at the minimum:
     // every node's component is the min over its closed neighborhood.

@@ -91,16 +91,33 @@ object Metrics {
     spark.read.parquet(s"$root/_metrics")
 }
 
-/** SNK3/K3 — per-partition lineage rows at `<root>/_lineage`: which spark
-  * partitions (→ Iceberg partitions in prod) produced each stage output,
-  * keyed by configHash for the resume gate. */
+/** SNK3/K3 — per-partition lineage rows at `<root>/_lineage`: which input
+  * partitions (crawl days → Iceberg `days(warc_ts)` partitions in prod)
+  * produced each stage output, keyed by configHash for the resume gate.
+  *
+  * When the stage output carries a `warc_day` column (the docs stage does,
+  * via `DedupMain.toDocs`), lineage aggregates per crawl day and stamps it —
+  * that column is what `Resume.doneDays` reads for partial-partition
+  * restarts. Day-less stages fall back to spark_partition_id with a null
+  * warc_day, so the schema is uniform across stages. */
 object Lineage {
   def append(spark: SparkSession, root: String, runId: String, stageName: String,
              configHash: String, df: DataFrame): Unit = {
-    df.groupBy(spark_partition_id().as("input_partition"))
-      .agg(count(lit(1)).as("rows"))
+    val hasDay = df.columns.contains("warc_day")
+    val keyed =
+      if (hasDay)
+        df.groupBy(col("warc_day")).agg(count(lit(1)).as("rows"))
+          .select(dense_rank().over(
+                    org.apache.spark.sql.expressions.Window.orderBy("warc_day"))
+                    .cast("int").as("input_partition"),
+                  col("warc_day"), col("rows"))
+      else
+        df.groupBy(spark_partition_id().as("input_partition"))
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("warc_day", lit(null).cast("timestamp"))
+    keyed
       .select(lit(runId).as("run_id"), lit(stageName).as("stage"),
-              col("input_partition"), col("rows"),
+              col("input_partition"), col("warc_day"), col("rows"),
               lit(configHash).as("config_hash"), lit("ok").as("status"))
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
@@ -125,8 +142,11 @@ object Resume {
       .join(doneDays.select(col("warc_day")), Seq("warc_day"), "left_anti")
       .drop("warc_day")
 
-  /** Days recorded done in a lineage table for a config. */
+  /** Days recorded done in a lineage table for a config (null warc_day rows
+    * — day-less stages — are never "done days"). Feed `Lineage.read(spark,
+    * root)` straight in; `Lineage.append` stamps warc_day at write time. */
   def doneDays(lineage: org.apache.spark.sql.DataFrame, configHash: String): org.apache.spark.sql.DataFrame =
-    lineage.where(col("config_hash") === configHash && col("status") === "ok")
+    lineage.where(col("config_hash") === configHash && col("status") === "ok"
+                    && col("warc_day").isNotNull)
       .select(col("warc_day")).distinct()
 }

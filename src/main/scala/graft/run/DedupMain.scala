@@ -24,34 +24,57 @@ import org.apache.spark.sql.functions._
  */
 object DedupMain {
 
-  def parseConfig(args: Seq[String]): DedupConfig =
-    args.foldLeft(DedupConfig.test) { (c, a) =>
+  /** All args are parsed first and the config constructed ONCE at the end —
+    * the bands×rows==numPerm invariant must not fire on intermediate states
+    * (`numPerm=64 bands=16` is valid but unreachable arg-by-arg). */
+  def parseConfig(args: Seq[String]): DedupConfig = {
+    val kv = args.map { a =>
       a.split("=", 2) match {
-        case Array("k", v)           => c.copy(k = v.toInt)
-        case Array("numPerm", v)     => c.copy(numPerm = v.toInt)
-        case Array("bands", v)       => c.copy(bands = v.toInt)
-        case Array("rows", v)        => c.copy(rows = v.toInt)
-        case Array("jaccard", v)     => c.copy(jaccardThreshold = v.toDouble)
-        case Array("hamming", v)     => c.copy(hammingThreshold = v.toInt)
-        case Array("gramLen", v)     => c.copy(gramLen = v.toInt)
-        case Array("winnowW", v)     => c.copy(winnowW = v.toInt)
-        case Array("saltMaxBucket", v) => c.copy(saltMaxBucket = v.toInt)
-        case Array("seed", v)        => c.copy(seed = java.lang.Long.decode(v))
-        case _ => sys.error(s"unknown config arg: $a")
+        case Array(k, v) => (k, v)
+        case _ => sys.error(s"bad config arg (want key=value): $a")
       }
-    }
+    }.toMap
+    val known = Set("k", "numPerm", "bands", "rows", "jaccard", "hamming",
+      "gramLen", "winnowW", "saltMaxBucket", "substrMinFrac", "substrShards",
+      "simhashBlocks", "shingleUnit", "seed")
+    kv.keys.find(!known.contains(_)).foreach(k => sys.error(s"unknown config arg: $k"))
+    val d = DedupConfig.test
+    def i(k: String, dv: Int) = kv.get(k).map(_.toInt).getOrElse(dv)
+    DedupConfig(
+      shingleUnit = kv.getOrElse("shingleUnit", d.shingleUnit),
+      k = i("k", d.k),
+      numPerm = i("numPerm", d.numPerm),
+      bands = i("bands", d.bands),
+      rows = i("rows", d.rows),
+      jaccardThreshold = kv.get("jaccard").map(_.toDouble).getOrElse(d.jaccardThreshold),
+      hammingThreshold = i("hamming", d.hammingThreshold),
+      gramLen = i("gramLen", d.gramLen),
+      winnowW = i("winnowW", d.winnowW),
+      substrMinFrac = kv.get("substrMinFrac").map(_.toDouble).getOrElse(d.substrMinFrac),
+      substrShards = i("substrShards", d.substrShards),
+      saltMaxBucket = i("saltMaxBucket", d.saltMaxBucket),
+      simhashBlocks = i("simhashBlocks", d.simhashBlocks),
+      seed = kv.get("seed").map(java.lang.Long.decode(_).longValue).getOrElse(d.seed))
+  }
 
-  /** Normalize any accepted input shape to (doc_id, text, lang). */
+  /** Normalize any accepted input shape to (doc_id, text, lang, warc_day).
+    * `warc_day` (day-truncated warc_ts, null for day-less inputs) rides
+    * along so the docs stage's lineage rows carry the crawl-day partition
+    * value — the key `Resume.doneDays`/`pendingDays` resume on. */
   def toDocs(input: DataFrame): DataFrame = {
     val cols = input.columns.toSet
+    val day =
+      if (cols.contains("warc_ts")) date_trunc("day", col("warc_ts"))
+      else lit(null).cast("timestamp")
     if (cols.contains("url")) {
       // canonical pages: extract when text is null, stable id from url
       input.select(
         xxhash64(col("url")).as("doc_id"),
         coalesce(col("text"), Fns.htmlToText(col("html"))).as("text"),
-        col("lang"))
+        col("lang"),
+        day.as("warc_day"))
     } else {
-      input.select(col("doc_id"), col("text"), col("lang"))
+      input.select(col("doc_id"), col("text"), col("lang"), day.as("warc_day"))
     }
   }
 
@@ -60,6 +83,11 @@ object DedupMain {
           runId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     def stage(name: String)(build: => DataFrame): DataFrame =
       Checkpoint.stage(spark, root, name, cfg, runId)(build)
+
+    // durable RDD checkpoints (CC iteration snapshots) live under the run
+    // root — same filesystem as the stage outputs, survives executor loss
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$root/_ckpt")
 
     val docs = stage("docs") {
       toDocs(graft.sources.TableIO.read(spark, inputRef))
@@ -79,9 +107,13 @@ object DedupMain {
       mh.unionByName(sh)
     }
     val dupPairs = stage("dup_pairs") {
+      // is_hot MUST survive this projection: candidatePairs keys its
+      // star-vs-clique discipline on it — dropping it would run the full
+      // self-join over hot salt lanes (quadratic boilerplate blowup) and
+      // diverge from the Dedup facade at the same configHash.
       def cands(family: String) =
         Lsh.candidatePairs(bandKeys.where(col("family") === family)
-          .select("doc_id", "band", "key", "salt"))
+          .select("doc_id", "band", "key", "salt", "is_hot"))
       val mh = Lsh.verifyJaccard(cands("minhash"), shingled, cfg)
       val sh = Lsh.verifyHamming(cands("simhash"),
         signatures.select("doc_id", "simhash"), cfg)

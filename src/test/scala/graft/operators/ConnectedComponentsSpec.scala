@@ -50,6 +50,28 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("reliable checkpoint: long path writes durable snapshots, same answer") {
+    val sc = spark.sparkContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val before = sc.getCheckpointDir
+    sc.setCheckpointDir(ckpt)
+    try {
+      // a 2000-node path needs well over ReliableCheckpointEvery rounds
+      val edges = (1L to 2000L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val got = ConnectedComponents.assign(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(0, edges))
+      // durable RDD checkpoint files must exist under the configured dir —
+      // the artifacts a mid-CC executor loss would recover from
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "expected reliable checkpoint files under the ckpt dir")
+    } finally before match {
+      case Some(d) => sc.setCheckpointDir(d)
+      case None => // leave the test dir configured; later suites tolerate it
+    }
+  }
+
   test("clusters table: sizes and canonical flags") {
     val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
     val out = ConnectedComponents.clusters(assign)

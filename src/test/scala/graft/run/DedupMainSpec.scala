@@ -1,0 +1,60 @@
+package graft.run
+
+import graft.{Dedup, DedupConfig, SparkSuite}
+import graft.sources.PagesGen
+import org.apache.spark.sql.functions._
+
+/** EP2 pipeline-vs-facade parity and CLI config coverage. */
+class DedupMainSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-main").toString
+
+  test("parseConfig round-trips every cluster-affecting knob into configHash") {
+    // every value differs from the default (so dropping any arg must change
+    // the config), and bands×rows==numPerm only holds for the full set —
+    // parseConfig must not enforce the invariant on intermediate states
+    val args = Seq(
+      "k=4", "numPerm=64", "bands=8", "rows=8", "jaccard=0.7", "hamming=2",
+      "gramLen=80", "winnowW=40", "saltMaxBucket=500", "substrMinFrac=0.3",
+      "substrShards=32", "simhashBlocks=5", "shingleUnit=char", "seed=42")
+    val parsed = DedupMain.parseConfig(args)
+    val expected = DedupConfig.test.copy(
+      k = 4, numPerm = 64, bands = 8, rows = 8, jaccardThreshold = 0.7,
+      hammingThreshold = 2, gramLen = 80, winnowW = 40, saltMaxBucket = 500,
+      substrMinFrac = 0.3, substrShards = 32, simhashBlocks = 5,
+      shingleUnit = "char", seed = 42L)
+    assert(parsed === expected)
+    assert(parsed.configHash === expected.configHash)
+    // every arg must matter: dropping any one changes the parsed config
+    // (or makes it unconstructible, e.g. breaking bands×rows==numPerm)
+    args.indices.foreach { i =>
+      val without = scala.util.Try(DedupMain.parseConfig(args.patch(i, Nil, 1)))
+      assert(without.toOption.forall(_ !== parsed),
+        s"arg ${args(i)} had no effect on the config")
+    }
+  }
+
+  test("spark-submit pipeline candidate pairs match the Dedup facade on a hot corpus") {
+    // saltMaxBucket small enough that the 5% hot boilerplate docs trip the
+    // census: the dup_pairs stage must keep is_hot so its star-vs-clique
+    // discipline (and thus its pair set) is identical to the facade's.
+    val cfg = DedupConfig.test.copy(saltMaxBucket = 8)
+    val n = 400
+    assert(PagesGen.docs(spark, n, cfg).toDF()
+      .where(col("text").startsWith("this site uses cookies")).count() > 8,
+      "fixture must have a hot bucket larger than saltMaxBucket")
+    val input = tmpRoot() + "/docs.parquet"
+    PagesGen.docs(spark, n, cfg).toDF().write.parquet(input)
+    val root = tmpRoot()
+    DedupMain.run(spark, input, root, cfg, "r1")
+
+    val pipelinePairs = spark.read.parquet(s"$root/dup_pairs")
+      .select("a", "b", "family").as[(Long, Long, String)].collect().toSet
+    val facadePairs = Dedup.dupPairs(PagesGen.docs(spark, n, cfg).toDF(), cfg)
+      .select("a", "b", "family").as[(Long, Long, String)].collect().toSet
+    assert(pipelinePairs === facadePairs,
+      "pipeline and facade must produce the same pair set at the same configHash")
+  }
+}

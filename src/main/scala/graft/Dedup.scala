@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Family-tagged verified duplicate pairs (a, b, family). */
-  def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame =
+  /** Family-tagged verified duplicate pairs (a, b, family). The docs table
+    * (scan + possible E1 extraction) is materialized once and shared by all
+    * three families — without this each family re-runs the scan/extract
+    * chain, which dominates when text comes from html. */
+  def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
+    val d = docs.localCheckpoint(false)
     Lsh.dupPairs(
-      Lsh.minhashDupPairs(docs, cfg),
-      Lsh.simhashDupPairs(docs, cfg),
-      ExactSubstr.substrDupPairs(docs, cfg))
+      Lsh.minhashDupPairs(d, cfg),
+      Lsh.simhashDupPairs(d, cfg),
+      ExactSubstr.substrDupPairs(d, cfg))
+  }
 
   /** Cluster table (doc_id, cluster_id, cluster_size, is_canonical) for
     * every doc that has at least one duplicate. */

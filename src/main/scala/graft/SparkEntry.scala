@@ -166,26 +166,53 @@ object SparkEntry {
           TextOps.normalizeForShingling(col("text"))))).cast("long").as("n_norm_tokens"))
         .orderBy("doc_id")),
 
-    // A2 — exact vs HLL distinct shingle cardinality (rows-only: sketch
-    // values are engine-specific).
+    // A2 — exact distinct shingle cardinality (oracle-checked; the HLL
+    // sketch half lives in q31, whose values are engine-specific).
     "q26_shingle_card" -> ((s, dir) =>
       Lsh.shingled(docs(s, dir), cfg)
         .select(explode(col("shingles")).as("sh"))
-        .agg(countDistinct(col("sh")).as("n_exact"),
-             approx_count_distinct(col("sh"), 0.02).as("n_approx"))),
+        .agg(countDistinct(col("sh")).as("n_exact"))),
 
-    // A5 — set ops across signature families: intersect / exceptAll of the
-    // MinHash and SimHash verified pair sets (rows-only: hash-dependent).
+    // A2 — HLL approximate distinct + its relative error vs exact (rows-
+    // only: sketch values are engine-specific; the error bound is asserted
+    // in TextOpsSpec instead).
+    "q31_shingle_card_approx" -> ((s, dir) =>
+      Lsh.shingled(docs(s, dir), cfg)
+        .select(explode(col("shingles")).as("sh"))
+        .agg(approx_count_distinct(col("sh"), 0.02).as("n_approx"))),
+
+    // A5 — set ops across signature families: ONE plan (full outer join of
+    // the two canonicalized pair sets + conditional counts) — never
+    // driver-side actions re-running the pipelines per count. Rows-only:
+    // the SimHash side is hash-family-dependent.
     "q27_family_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
-      val mh = Lsh.minhashDupPairs(d, cfg).select("a", "b")
-      val sh = Lsh.simhashDupPairs(d, cfg).select("a", "b")
-      val both = mh.intersect(sh).count()
-      val mhOnly = mh.exceptAll(sh).count()
-      val shOnly = sh.exceptAll(mh).count()
-      d.sparkSession.range(1).select(
-        lit(both).as("n_both"), lit(mhOnly).as("n_minhash_only"),
-        lit(shOnly).as("n_simhash_only"))
+      val mh = Lsh.minhashDupPairs(d, cfg).select(col("a"), col("b"), lit(1).as("in_mh"))
+      val sh = Lsh.simhashDupPairs(d, cfg).select(col("a"), col("b"), lit(1).as("in_sh"))
+      mh.join(sh, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+    }),
+
+    // X1-X3 + winnowing guarantee, oracle-checked: pairs where the maximal
+    // shared run covers the SHORTER doc entirely (text containment) and the
+    // shorter doc is >= gramLen + winnowW - 1 bytes — the regime where the
+    // winnowed gram index guarantees detection, so DuckDB `position` can
+    // verify exactly.
+    "q30_substr_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lens = d.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("blen"))
+      val guarantee = cfg.gramLen + cfg.winnowW - 1
+      graft.operators.ExactSubstr.substrDupPairs(d, cfg)
+        .join(lens.select(col("doc_id").as("a"), col("blen").as("len_a")), "a")
+        .join(lens.select(col("doc_id").as("b"), col("blen").as("len_b")), "b")
+        .where(col("match_len") === least(col("len_a"), col("len_b")) &&
+               least(col("len_a"), col("len_b")) >= guarantee)
+        .select(col("a"), col("b"), col("match_len").cast("long").as("match_len"))
+        .orderBy("a", "b")
     }),
 
     // document fingerprinting — winnowed rolling-hash fingerprint counts
@@ -324,6 +351,18 @@ object SparkEntry {
          |SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q26_shingle_card" ->
+      (s"WITH sh AS ($shingleSetsSql) " +
+        "SELECT count(DISTINCT x) AS n_exact FROM (SELECT unnest(s) AS x FROM sh)"),
+    "q30_substr_containment" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(least(x.blen, y.blen) AS BIGINT) AS match_len
+         |FROM d x JOIN d y ON x.doc_id < y.doc_id
+         |WHERE least(x.blen, y.blen) >= ${cfg.gramLen + cfg.winnowW - 1}
+         |  AND CASE WHEN x.blen <= y.blen THEN position(x.text IN y.text) > 0
+         |           ELSE position(y.text IN x.text) > 0 END
+         |ORDER BY a, b""".stripMargin,
     "q25_normalize" ->
       """SELECT doc_id, len(list_distinct(list_filter(
         |  string_split(lower(regexp_replace(text, '[0-9]+', '0', 'g')), ' '),

@@ -71,12 +71,25 @@ object ConnectedComponents {
    * least one pair are emitted (singletons are not duplicates).
    */
   def assign(pairs: DataFrame, maxRoundsHint: Option[Int] = None): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    // Checkpoint-block lifecycle: each round's edge blocks are only needed
+    // until the NEXT round materializes — without explicit unpersist the
+    // blocks of every round pile up until GC notices (at 10^7+ edges ×
+    // O(log n) rounds that is an OOM, observed at 960k docs). We diff the
+    // persistent-RDD registry around each localCheckpoint to find the new
+    // blocks and drop the previous round's once the successor is computed.
+    def rddIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def dropRdds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val ids0 = rddIds
     var edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    var prevRoundIds = rddIds -- ids0
 
     var (prevN, prevH) = fingerprint(edges)
     val maxRounds = maxRoundsHint.getOrElse(
@@ -89,11 +102,15 @@ object ConnectedComponents {
       // that materializes it — one Spark job per round, not two (driver
       // round-trip latency is the serial term that caps scaling)
       val stepped = smallStar(largeStar(edges))
+      val idsBefore = rddIds
       val next =
         if (reliable && round % ReliableCheckpointEvery == ReliableCheckpointEvery - 1)
           stepped.checkpoint(false) // durable: survives executor loss
         else stepped.localCheckpoint(false)
       val (n, h) = fingerprint(next)
+      val thisRoundIds = rddIds -- idsBefore
+      dropRdds(prevRoundIds)
+      prevRoundIds = thisRoundIds
       converged = n == prevN && h == prevH
       prevN = n; prevH = h
       edges = next

@@ -184,25 +184,50 @@ object ExactSubstr {
     lo + L + hi
   }
 
+  /** Per-task shard size target. A shard of n bytes needs ~16n bytes of
+    * int arrays for the suffix sort (sa/rank/rank2/tmp), so 16 MB shards
+    * keep each task's working set ≈ 256 MB — safe with many concurrent
+    * tasks per executor. */
+  private[operators] val TargetShardBytes = 16L * 1024 * 1024
+
+  /** Shard count for `shardRepeats`: a pure function of total corpus text
+    * bytes (NOT of parallelism), so "same config + same input ⇒ same
+    * shards ⇒ same pairs" holds at any cluster size, while shard size stays
+    * bounded as the corpus grows (a pinned count would OOM at 100×).
+    * Pipeline runners should record the chosen value (DedupMain writes a
+    * metrics row). */
+  def shardsFor(totalTextBytes: Long, cfg: DedupConfig): Int =
+    math.max(cfg.substrShards,
+      ((totalTextBytes + TargetShardBytes - 1) / TargetShardBytes).toInt)
+
   /** X4 — within-shard repeats via a per-partition suffix array over the
     * concatenated shard bytes. Emits (a, b, match_len) for cross-doc
-    * adjacent-suffix LCPs ≥ gramLen. */
-  def shardRepeats(docs: DataFrame, cfg: DedupConfig): Dataset[SubstrPair] = {
+    * suffix groups with LCP ≥ gramLen. `numShards` defaults to the config
+    * floor; pass `shardsFor(totalBytes, cfg)` for byte-scaled sharding.
+    * `droppedPairs` (when given) counts cross-doc pairs suppressed by the
+    * MaxGroup cap — the loud-cap contract (same as Lsh.saltedDropEstimate):
+    * capped work is counted and reported, never silently truncated. */
+  def shardRepeats(docs: DataFrame, cfg: DedupConfig,
+                   numShards: Option[Int] = None,
+                   droppedPairs: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SubstrPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val L = cfg.gramLen
-    // Shard composition is pinned by (configHash): hash-repartition on
-    // doc_id into cfg.substrShards shards, so "same config ⇒ same pairs"
-    // holds at ANY parallelism (upstream partitioning must not leak into
-    // which repeats this route can see — the N-vs-4N-executor invariant).
+    val shards = numShards.getOrElse(cfg.substrShards)
+    // Shard composition is pinned by (configHash, input bytes): hash-
+    // repartition on doc_id into `shards` shards, so "same config ⇒ same
+    // pairs" holds at ANY parallelism (upstream partitioning must not leak
+    // into which repeats this route can see — the N-vs-4N invariant).
     docs.select(col("doc_id"), col("text"))
-      .repartition(cfg.substrShards, col("doc_id"))
+      .repartition(shards, col("doc_id"))
       .as[(Long, String)].mapPartitions { it =>
       val shard = it.filter(_._2 != null).toArray
       if (shard.length < 2) Iterator.empty
       else {
         val texts = shard.map(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val total = texts.map(_.length + 1).sum
+        var total = 0
+        texts.foreach(t => total += t.length + 1)
         val buf = new Array[Byte](total)
         val docOf = new Array[Int](total)
         var pos = 0
@@ -213,19 +238,29 @@ object ExactSubstr {
           docOf(pos + t.length) = d
           pos += t.length + 1
         }
-        val sa = (0 until total).toArray.map(Integer.valueOf)
-        java.util.Arrays.sort(sa, (x: Integer, y: Integer) => compareSuffix(buf, x, y))
+        val sa = suffixArray(buf)
         val best = new scala.collection.mutable.HashMap[(Long, Long), Int]()
         // Group maximal runs of SA entries whose consecutive LCP >= L and
         // emit EVERY cross-doc pair in the group with its range-min LCP —
         // adjacent pairs alone miss (copy1, copy2) when a run is shared by
         // 3+ docs (the base sorts between its copies). Group size capped:
         // a pathological shard-wide boilerplate run would otherwise emit
-        // O(g^2) pairs; the cap is logged via the metrics wrapper upstream.
+        // O(g^2) pairs; dropped cross-doc pairs are COUNTED into
+        // `droppedPairs` (loud cap, never silent).
         val MaxGroup = 1000
         val gDocs = new scala.collection.mutable.ArrayBuffer[Int]()
         val gLcps = new scala.collection.mutable.ArrayBuffer[Int]()
+        // cross-doc pair count of the first `upTo` entries: C(m,2) − Σ_d C(c_d,2)
+        def crossDocPairs(upTo: Int): Long = {
+          val m = math.min(gDocs.length, upTo).toLong
+          val byDoc = new scala.collection.mutable.HashMap[Int, Long]()
+          var i = 0
+          while (i < m) { byDoc(gDocs(i)) = byDoc.getOrElse(gDocs(i), 0L) + 1; i += 1 }
+          m * (m - 1) / 2 - byDoc.valuesIterator.map(c => c * (c - 1) / 2).sum
+        }
         def flush(): Unit = {
+          if (gDocs.length > MaxGroup)
+            droppedPairs.foreach(_.add(crossDocPairs(gDocs.length) - crossDocPairs(MaxGroup)))
           var i = 0
           while (i < gDocs.length && i < MaxGroup) {
             var minL = Int.MaxValue
@@ -245,10 +280,10 @@ object ExactSubstr {
           gDocs.clear(); gLcps.clear()
         }
         var i = 1
-        gDocs += docOf(sa(0).intValue)
+        gDocs += docOf(sa(0))
         while (i < total) {
-          val p = sa(i - 1).intValue
-          val q = sa(i).intValue
+          val p = sa(i - 1)
+          val q = sa(i)
           val l = lcp(buf, p, q)
           if (l >= L) { gDocs += docOf(q); gLcps += l }
           else { flush(); gDocs += docOf(q) }
@@ -266,14 +301,65 @@ object ExactSubstr {
     }
   }
 
-  private def compareSuffix(buf: Array[Byte], x: Int, y: Int): Int = {
-    var i = x; var j = y
-    while (i < buf.length && j < buf.length) {
-      val c = (buf(i) & 0xff) - (buf(j) & 0xff)
-      if (c != 0) return c
-      i += 1; j += 1
+  /** Suffix array by prefix doubling with counting sorts [Manber-Myers]:
+    * O(n log n) guaranteed (immune to long-repeat adversarial inputs that
+    * blow up comparison sorts), primitive int arrays only (the previous
+    * boxed-Integer comparator sort allocated O(n) objects per shard and
+    * collapsed under GC pressure at 10^5+ docs). */
+  private[operators] def suffixArray(s: Array[Byte]): Array[Int] = {
+    val n = s.length
+    if (n == 0) return Array.emptyIntArray
+    var sa = new Array[Int](n)
+    var tmp = new Array[Int](n)
+    var rank = new Array[Int](n)
+    var rank2 = new Array[Int](n)
+    val K = math.max(257, n + 1)
+    val cnt = new Array[Int](K)
+
+    // base pass: counting sort of positions by byte value
+    var i = 0
+    while (i < n) { rank(i) = s(i) & 0xff; i += 1 }
+    java.util.Arrays.fill(cnt, 0, 257, 0)
+    i = 0
+    while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+    i = 1
+    while (i < 257) { cnt(i) += cnt(i - 1); i += 1 }
+    i = 0
+    while (i < n) { sa(cnt(rank(i))) = i; cnt(rank(i)) += 1; i += 1 }
+
+    var k = 1
+    while (k < n) {
+      // order by second key (rank of i+k, absent = smallest): suffixes with
+      // i+k >= n first, then the rest in current sa order shifted by k
+      var p = 0
+      i = n - k
+      while (i < n) { tmp(p) = i; p += 1; i += 1 }
+      i = 0
+      while (i < n) { if (sa(i) >= k) { tmp(p) = sa(i) - k; p += 1 }; i += 1 }
+      // stable counting sort of tmp by first key (current rank)
+      java.util.Arrays.fill(cnt, 0)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i < K) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) { val v = tmp(i); sa(cnt(rank(v))) = v; cnt(rank(v)) += 1; i += 1 }
+      // recompute ranks for length 2k
+      def rankAt(x: Int): Int = if (x + k < n) rank(x + k) else -1
+      rank2(sa(0)) = 0
+      i = 1
+      var maxRank = 0
+      while (i < n) {
+        val same = rank(sa(i)) == rank(sa(i - 1)) && rankAt(sa(i)) == rankAt(sa(i - 1))
+        maxRank = rank2(sa(i - 1)) + (if (same) 0 else 1)
+        rank2(sa(i)) = maxRank
+        i += 1
+      }
+      val t = rank; rank = rank2; rank2 = t
+      if (maxRank == n - 1) return sa
+      k <<= 1
     }
-    (buf.length - x) - (buf.length - y)
+    sa
   }
 
   private def lcp(buf: Array[Byte], x: Int, y: Int): Int = {
@@ -284,10 +370,15 @@ object ExactSubstr {
   }
 
   /** Full substring family: union of the cross-shard gram route and the
-    * within-shard suffix-array route; (a, b, match_len) with the max run. */
-  def substrDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    * within-shard suffix-array route; (a, b, match_len) with the max run.
+    * `numShards`/`droppedPairs` thread through to `shardRepeats` (byte-
+    * scaled sharding and the counted MaxGroup cap). */
+  def substrDupPairs(docs: DataFrame, cfg: DedupConfig,
+                     numShards: Option[Int] = None,
+                     droppedPairs: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg), cfg), docs, cfg).toDF()
-    val shardRoute = shardRepeats(docs, cfg).toDF()
+    val shardRoute = shardRepeats(docs, cfg, numShards, droppedPairs).toDF()
     gramRoute.unionByName(shardRoute)
       .groupBy("a", "b")
       .agg(max("match_len").as("match_len"))

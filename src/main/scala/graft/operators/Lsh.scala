@@ -39,12 +39,17 @@ object Lsh {
   def simhashes(docs: DataFrame, cfg: DedupConfig): DataFrame =
     docs.select(col("doc_id"), Fns.simhash64(col("text"), cfg).as("simhash"))
 
-  /** B1 — MinHash LSH banding [MMDS ch.3]: one row per (doc, band) with
-    * key = xxhash64 of the band's r-slice of the signature. */
+  /** B1 — MinHash LSH banding [MMDS ch.3]: one row per (doc, band). The
+    * band INDEX is hashed into the key (xxhash64(band, r-slice)), so the
+    * key alone identifies the bucket: downstream census/salt/self-join
+    * operate on one 8-byte column instead of (band, key) — half the
+    * shuffle key width at 10^12×32 rows. The band column stays in the
+    * schema for census/debug queries; Catalyst prunes it from plans that
+    * don't read it. */
   def minhashBandKeys(signatures: DataFrame, cfg: DedupConfig): DataFrame = {
     val keys = transform(
       sequence(lit(0), lit(cfg.bands - 1)),
-      i => xxhash64(slice(col("minhash"), i * lit(cfg.rows) + lit(1), lit(cfg.rows))))
+      i => xxhash64(i, slice(col("minhash"), i * lit(cfg.rows) + lit(1), lit(cfg.rows))))
     signatures
       .select(col("doc_id"), posexplode(keys))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
@@ -57,20 +62,28 @@ object Lsh {
     * agrees on some (blocks−t)-combination and collides on that key.
     * Defaults (6 blocks, t=3) give C(6,3)=20 keys of ~32 selective bits —
     * usable at 10^12 docs, unlike 16-bit quarters. */
-  def simhashBandKeys(simhashes: DataFrame, cfg: DedupConfig): DataFrame = {
-    val nb = cfg.simhashBlocks
-    val base = 64 / nb
-    val extra = 64 % nb // first `extra` blocks get one more bit
-    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+  def simhashBandKeys(simhashes: DataFrame, cfg: DedupConfig): DataFrame =
+    hamming64BandKeys(simhashes, "simhash", cfg.simhashBlocks, cfg.hammingThreshold)
+
+  /** Generic Manku-style block-combination keys for ANY 64-bit fingerprint
+    * column (SimHash, media pHash, …): every pair within Hamming ≤
+    * `maxHamming` collides on ≥1 key (pigeonhole over `blocks` bit blocks),
+    * so bucket-join + exact-Hamming verify is EXACT — never a crossJoin. */
+  def hamming64BandKeys(hashes: DataFrame, hashCol: String,
+                        blocks: Int, maxHamming: Int): DataFrame = {
+    require(blocks > maxHamming, s"need blocks($blocks) > maxHamming($maxHamming)")
+    val base = 64 / blocks
+    val extra = 64 % blocks // first `extra` blocks get one more bit
+    val widths = Array.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def block(i: Int) =
-      shiftrightunsigned(col("simhash"), offsets(i)) bitwiseAND lit((1L << widths(i)) - 1)
-    val combos = (0 until nb).combinations(nb - cfg.hammingThreshold).toSeq
-    val entries = combos.zipWithIndex.map { case (blocks, ci) =>
+      shiftrightunsigned(col(hashCol), offsets(i)) bitwiseAND lit((1L << widths(i)) - 1)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val entries = combos.zipWithIndex.map { case (blockIdx, ci) =>
       struct(lit(ci).as("band"),
-             xxhash64((lit(ci) +: blocks.map(block)): _*).as("key"))
+             xxhash64((lit(ci) +: blockIdx.map(block)): _*).as("key"))
     }
-    simhashes
+    hashes
       .select(col("doc_id"), explode(array(entries: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
   }
@@ -85,21 +98,27 @@ object Lsh {
     * runtime backstop. */
   def saltBandKeys(bandKeys: DataFrame, cfg: DedupConfig): DataFrame = {
     if (cfg.saltMaxBucket <= 0) return bandKeys.withColumn("salt", lit(0))
-    val hot = bandKeys.groupBy("band", "key").count()
+    // input is reused by the census AND the main join below — materialize
+    // once (lineage-truncating block cache) instead of recomputing the
+    // whole scan→shingle→signature→banding chain twice
+    val bk = bandKeys.localCheckpoint(false)
+    // the key encodes its band (B1/B2), so the census groups on ONE long
+    val hot = bk.groupBy("key").count()
       .where(col("count") > cfg.saltMaxBucket)
-      .select(col("band"), col("key"),
+      .select(col("key"),
               ceil(col("count") / cfg.saltMaxBucket).cast("int").as("nsalt"))
-    // Salt depends on (doc, band) — NOT doc alone. Near-identical docs
-    // share every band key, so a band-independent salt would cut the hot
-    // clique into the SAME lanes in all bands and permanently disconnect
-    // its cluster; per-band salting cuts differently in each band, so
-    // lanes cross-link and connectivity survives with P ≈ 1-(1-1/s)^bands.
-    bandKeys
-      .join(broadcast(hot), Seq("band", "key"), "left")
+    // Salt depends on (doc, band-encoded key) — NOT doc alone. Near-
+    // identical docs share every band key, so a band-independent salt would
+    // cut the hot clique into the SAME lanes in all bands and permanently
+    // disconnect its cluster; per-band salting cuts differently in each
+    // band, so lanes cross-link and connectivity survives with
+    // P ≈ 1-(1-1/s)^bands.
+    bk
+      .join(broadcast(hot), Seq("key"), "left")
       .withColumn("is_hot", col("nsalt").isNotNull)
       .withColumn("salt",
         when(col("nsalt").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("doc_id"), col("band")), col("nsalt")).cast("int")))
+          .otherwise(pmod(xxhash64(col("doc_id"), col("key")), col("nsalt")).cast("int")))
       .drop("nsalt")
   }
 
@@ -109,7 +128,7 @@ object Lsh {
     * the cap is loud, never silent. */
   def saltedDropEstimate(bandKeys: DataFrame, cfg: DedupConfig): Long = {
     if (cfg.saltMaxBucket <= 0) return 0L
-    val hot = bandKeys.groupBy("band", "key").count()
+    val hot = bandKeys.groupBy("key").count()
       .where(col("count") > cfg.saltMaxBucket)
       .select(col("count").cast("double").as("n"),
               ceil(col("count") / cfg.saltMaxBucket).cast("double").as("s"))
@@ -132,14 +151,16 @@ object Lsh {
     * (saltedDropEstimate) instead of OOMing quietly. */
   def candidatePairs(saltedKeys: DataFrame): DataFrame = {
     val hasHot = saltedKeys.columns.contains("is_hot")
+    // the band index is folded into the key (B1/B2), so the bucket identity
+    // is (key, salt): joins/windows shuffle two 8-byte columns, never three
     val cold = if (hasHot) saltedKeys.where(!col("is_hot")) else saltedKeys
-    val x = cold.select(col("band"), col("key"), col("salt"), col("doc_id").as("a"))
-    val y = cold.select(col("band"), col("key"), col("salt"), col("doc_id").as("b"))
-    val coldPairs = x.join(y, Seq("band", "key", "salt"))
+    val x = cold.select(col("key"), col("salt"), col("doc_id").as("a"))
+    val y = cold.select(col("key"), col("salt"), col("doc_id").as("b"))
+    val coldPairs = x.join(y, Seq("key", "salt"))
       .where(col("a") < col("b"))
       .select("a", "b")
     val pairs = if (!hasHot) coldPairs else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key", "salt")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key", "salt")
       val hotPairs = saltedKeys.where(col("is_hot"))
         .withColumn("m", min("doc_id").over(w))
         .where(col("doc_id") =!= col("m"))
@@ -147,6 +168,25 @@ object Lsh {
       coldPairs.unionByName(hotPairs)
     }
     pairs.groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
+  }
+
+  /** Restrict a per-doc table to docs that appear in at least one candidate
+    * pair — the verify joins then shuffle only candidate docs' rows instead
+    * of the whole corpus (the heaviest shuffle in the pipeline when
+    * candidates ≪ corpus, which is the normal web regime). The id list is
+    * broadcast, so this is gated: `nCandUpperBound` (2 × candidate-pair
+    * count, from an already-materialized count) must fit a broadcast;
+    * beyond the cap the table passes through unrestricted — a pure,
+    * output-preserving strategy switch, AQE-style. */
+  def restrictToCandidateDocs(perDoc: DataFrame, cands: DataFrame,
+                              nCandUpperBound: Long,
+                              maxBroadcastIds: Long = 20L * 1000 * 1000): DataFrame = {
+    if (nCandUpperBound > maxBroadcastIds) perDoc
+    else {
+      val ids = cands.select(col("a").as("doc_id"))
+        .unionByName(cands.select(col("b").as("doc_id"))).distinct()
+      perDoc.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    }
   }
 
   /** V1 — exact-Jaccard verification: join candidate pairs back to shingle
@@ -171,16 +211,29 @@ object Lsh {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Full MinHash family: docs(doc_id, text) → verified (a, b, jaccard). */
+  /** Full MinHash family: docs(doc_id, text) → verified (a, b, jaccard).
+    *
+    * Reuse discipline: `shingled` feeds the signature chain AND both sides
+    * of the verify join; candidate pairs feed the verify join once — each
+    * is materialized once via LAZY localCheckpoint instead of recomputed
+    * per consumer. Everything stays lazy: no action happens here, so when
+    * several families union into one job their stages overlap across the
+    * executor pool (an eager count here measurably serialized the families
+    * at 240k docs). The count-gated broadcast semi-restriction of the
+    * verify join lives in `DedupMain` (stage row counts are free there);
+    * at 10^12 docs the reuse comes from its durable stage materialization
+    * rather than executor block cache. */
   def minhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sh = shingled(docs, cfg)
+    val sh = shingled(docs, cfg).localCheckpoint(false)
     val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
+    // candidates are consumed exactly once (the verify join) — caching them
+    // here would be pure block-manager pressure
     verifyJaccard(candidatePairs(keys), sh, cfg)
   }
 
   /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming). */
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sims = simhashes(docs, cfg)
+    val sims = simhashes(docs, cfg).localCheckpoint(false)
     val keys = saltBandKeys(simhashBandKeys(sims, cfg), cfg)
     verifyHamming(candidatePairs(keys), sims, cfg)
   }

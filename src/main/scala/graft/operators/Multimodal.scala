@@ -58,12 +58,24 @@ object Multimodal {
     media.groupBy(xxhash64(col("media")).as("media_hash"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Near-dup media pairs via phash Hamming (reuses the SimHash block-key
-    * machinery shape — here brute threshold for the stub). */
-  def mediaNearDupPairs(features: Dataset[MediaMeta], maxHamming: Int): DataFrame = {
-    val a = features.toDF().select(col("doc_id").as("a"), col("phash").as("pa"))
-    val b = features.toDF().select(col("doc_id").as("b"), col("phash").as("pb"))
-    a.crossJoin(b).where(col("a") < col("b"))
+  /** Near-dup media pairs via phash Hamming, through the SAME block-
+    * combination machinery as SimHash (`Lsh.hamming64BandKeys`): every pair
+    * within Hamming ≤ maxHamming collides on ≥1 block key (pigeonhole), so
+    * this is EXACT — identical output to a brute crossJoin (unit-tested)
+    * without ever materializing the O(n²) product. Hot keys (identical or
+    * near-identical media cliques) are salted + star-capped like text band
+    * keys; pass saltMaxBucket ≤ 0 in `cfg` to disable capping when exact
+    * all-pairs output within hot cliques is required. */
+  def mediaNearDupPairs(features: Dataset[MediaMeta], maxHamming: Int,
+                        blocks: Int = 6,
+                        cfg: graft.DedupConfig = graft.DedupConfig.test): DataFrame = {
+    val hashes = features.toDF().select(col("doc_id"), col("phash"))
+    val keys = Lsh.saltBandKeys(
+      Lsh.hamming64BandKeys(hashes, "phash", blocks, maxHamming), cfg)
+    val cands = Lsh.candidatePairs(keys)
+    val ha = hashes.select(col("doc_id").as("a"), col("phash").as("pa"))
+    val hb = hashes.select(col("doc_id").as("b"), col("phash").as("pb"))
+    cands.join(ha, "a").join(hb, "b")
       .withColumn("hamming", bit_count(col("pa") bitwiseXOR col("pb")).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")

@@ -83,6 +83,10 @@ object DedupMain {
           runId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     def stage(name: String)(build: => DataFrame): DataFrame =
       Checkpoint.stage(spark, root, name, cfg, runId)(build)
+    // true iff the named stage will be (or was) reused at this configHash —
+    // informational metrics rows are only recorded on fresh computes
+    def resumes(name: String): Boolean =
+      Checkpoint.readManifest(spark, root, name).exists(_.configHash == cfg.configHash)
 
     // durable RDD checkpoints (CC iteration snapshots) live under the run
     // root — same filesystem as the stage outputs, survives executor loss
@@ -98,6 +102,8 @@ object DedupMain {
         .join(Lsh.simhashes(docs, cfg), "doc_id")
     }
     val bandKeys = stage("band_keys") {
+      // the band index is folded into `key` (Lsh.minhashBandKeys /
+      // simhashBandKeys), so the bucket identity downstream is (key, salt)
       val mh = Lsh.saltBandKeys(
         Lsh.minhashBandKeys(signatures.select("doc_id", "minhash"), cfg), cfg)
         .withColumn("family", lit("minhash"))
@@ -106,6 +112,24 @@ object DedupMain {
         .withColumn("family", lit("simhash"))
       mh.unionByName(sh)
     }
+    val dupPairsResumed = resumes("dup_pairs")
+    // loud-cap accounting: hot-lane starring drops an ESTIMATED number of
+    // already-transitively-connected pairs per family — recorded as metrics
+    // rows, never silent (Lsh.saltedDropEstimate contract). Skipped on
+    // resume: the original run already recorded them.
+    if (!dupPairsResumed) Seq("minhash", "simhash").foreach { fam =>
+      Metrics.append(spark, root, runId, s"salted_drop_est_$fam",
+        Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
+        0L, resumed = false)
+    }
+    // substring sharding scales with corpus bytes (determinism: a pure
+    // function of input content, not parallelism); the chosen value and the
+    // MaxGroup-capped pair count are recorded as metrics rows
+    val totalTextBytes =
+      if (dupPairsResumed) 0L
+      else docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L))).head().getLong(0)
+    val substrShards = ExactSubstr.shardsFor(totalTextBytes, cfg)
+    val substrDropped = spark.sparkContext.longAccumulator("substr_maxgroup_dropped_pairs")
     val dupPairs = stage("dup_pairs") {
       // is_hot MUST survive this projection: candidatePairs keys its
       // star-vs-clique discipline on it — dropping it would run the full
@@ -113,12 +137,23 @@ object DedupMain {
       // diverge from the Dedup facade at the same configHash.
       def cands(family: String) =
         Lsh.candidatePairs(bandKeys.where(col("family") === family)
-          .select("doc_id", "band", "key", "salt", "is_hot"))
-      val mh = Lsh.verifyJaccard(cands("minhash"), shingled, cfg)
-      val sh = Lsh.verifyHamming(cands("simhash"),
-        signatures.select("doc_id", "simhash"), cfg)
-      val sub = ExactSubstr.substrDupPairs(docs, cfg)
+          .select("doc_id", "key", "salt", "is_hot"))
+          .localCheckpoint(false)
+      val mhc = cands("minhash")
+      val shc = cands("simhash")
+      val (nMh, nSh) = (mhc.count(), shc.count())
+      val mh = Lsh.verifyJaccard(
+        mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
+      val sh = Lsh.verifyHamming(
+        shc, Lsh.restrictToCandidateDocs(
+          signatures.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
+      val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
       Lsh.dupPairs(mh, sh, sub)
+    }
+    if (!dupPairsResumed) {
+      Metrics.append(spark, root, runId, "substr_shards", substrShards.toLong, 0L, resumed = false)
+      Metrics.append(spark, root, runId, "substr_maxgroup_dropped_pairs",
+        substrDropped.value, 0L, resumed = false)
     }
     stage("clusters") {
       ConnectedComponents.clusters(

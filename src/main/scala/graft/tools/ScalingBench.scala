@@ -49,11 +49,11 @@ object ScalingBench {
 
     def pipelineCount(): Long = {
       val docs = DedupMain.toDocs(spark.read.parquet(corpus))
-      val mh = Lsh.minhashDupPairs(docs, cfg)
-      val sh = Lsh.simhashDupPairs(docs, cfg)
-      val sub = ExactSubstr.substrDupPairs(docs, cfg)
       val t0 = System.nanoTime()
-      val pairs = Lsh.dupPairs(mh, sh, sub).select("a", "b").localCheckpoint()
+      // facade path: shares the scan/extract across families and reuses
+      // shingles/signatures/candidates via localCheckpoint (Dedup.dupPairs
+      // runs its gating counts eagerly, so time the whole build)
+      val pairs = graft.Dedup.dupPairs(docs, cfg).select("a", "b").localCheckpoint()
       val nPairs = pairs.count()
       val t1 = System.nanoTime()
       val out = ConnectedComponents.assign(pairs).count()
@@ -102,22 +102,36 @@ object ScalingBench {
       spark.stop(); return
     }
 
-    // stage-by-stage timing mode for bottleneck hunting
+    // stage-by-stage timing mode for bottleneck hunting: each stage is a
+    // FRESH chain per rep (no shared localCheckpoint blocks), min-of-k
+    // against the 2-20x host noise
     if (sys.env.contains("SPARK_GRAFT_STAGES")) {
-      val docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
       def t(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"STAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+        var rows = 0L
+        val walls = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          rows = f
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"STAGE $name%-12s min=${walls.min}%8.2fs rows=$rows walls=${walls.map(w => f"$w%.1f").mkString(",")}")
       }
-      val sh = Lsh.shingled(docs, cfg)
-      t("shingle+sig") { Lsh.signatures(sh, cfg).count() }
-      val keys = Lsh.saltBandKeys(Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg), cfg)
-      t("band+salt") { keys.count() }
-      val cands = Lsh.candidatePairs(keys)
-      t("candidates") { cands.count() }
-      t("verify") { Lsh.verifyJaccard(cands, sh, cfg).count() }
+      def docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      t("shingle+sig") { Lsh.signatures(Lsh.shingled(docs, cfg), cfg).count() }
+      t("band+salt") {
+        Lsh.saltBandKeys(Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg), cfg).count()
+      }
+      t("candidates") {
+        Lsh.candidatePairs(Lsh.saltBandKeys(
+          Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg), cfg)).count()
+      }
+      t("minhashfam") { Lsh.minhashDupPairs(docs, cfg).count() }
       t("simhashfam") { Lsh.simhashDupPairs(docs, cfg).count() }
+      t("substr-gram") {
+        ExactSubstr.verifyExtend(
+          ExactSubstr.candidates(ExactSubstr.gramIndex(docs, cfg), cfg), docs, cfg).count()
+      }
+      t("substr-shard") { ExactSubstr.shardRepeats(docs, cfg).count() }
       t("substr") { ExactSubstr.substrDupPairs(docs, cfg).count() }
       t("cc") {
         val mh = Lsh.minhashDupPairs(docs, cfg)
@@ -129,12 +143,20 @@ object ScalingBench {
     // warm run (JIT + codegen), then 3 measured runs; report all and take
     // the MIN — this box shows 2-20x noisy-neighbor variance between
     // identical runs, and min-of-k is the standard noise-robust throughput
-    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) pipelineCount()
+    // between-rep hygiene: drop every leftover checkpoint/cache block so a
+    // rep never pays (or OOMs on) the previous rep's stale blocks
+    def dropAllBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) { pipelineCount(); dropAllBlocks() }
     var clustered = 0L
     val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>
       val t0 = System.nanoTime()
       clustered = pipelineCount()
-      (System.nanoTime() - t0) / 1e9
+      val w = (System.nanoTime() - t0) / 1e9
+      dropAllBlocks()
+      w
     }
     val best = walls.min
     println(s"""{"bench":"scaling","docs":$n,"cpus":$cpus,"wall_sec":$best,""" +

@@ -84,6 +84,54 @@ class ExactSubstrSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("suffixArray: prefix doubling matches a reference comparator sort") {
+    def referenceSa(buf: Array[Byte]): Array[Int] =
+      (0 until buf.length).sortWith { (x, y) =>
+        var i = x; var j = y
+        while (i < buf.length && j < buf.length && buf(i) == buf(j)) { i += 1; j += 1 }
+        if (i == buf.length) j < buf.length || x > y // shorter first; equal impossible
+        else if (j == buf.length) false
+        else (buf(i) & 0xff) < (buf(j) & 0xff)
+      }.toArray
+    val rnd = new java.util.SplittableRandom(7)
+    val cases = Seq(
+      Array.emptyByteArray,
+      "a".getBytes("UTF-8"),
+      "banana".getBytes("UTF-8"),
+      "aaaaaaaaaaaaaaaa".getBytes("UTF-8"), // adversarial long repeat
+      ("ab" * 50).getBytes("UTF-8"),
+      Array.fill(500)(rnd.nextInt(4).toByte), // small alphabet, many repeats
+      Array.fill(300)(rnd.nextInt(256).toByte))
+    cases.foreach { buf =>
+      assert(ExactSubstr.suffixArray(buf).toSeq === referenceSa(buf).toSeq,
+        s"mismatch on ${buf.take(20).mkString(",")} (len ${buf.length})")
+    }
+  }
+
+  test("MaxGroup cap is counted, never silent: adversarial boilerplate fixture") {
+    // >MaxGroup (1000) docs all sharing one long run, forced into ONE shard:
+    // the cap must suppress pairs AND count every suppressed cross-doc pair
+    val run = "Z" * (cfg.gramLen + 10)
+    val docsSeq = (0L until 1200L).map(i => (i, s"doc$i $run tail$i"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("dropped")
+    val found = ExactSubstr.shardRepeats(docs, cfg.copy(substrShards = 1,
+      substrMinFrac = 0.0), None, Some(acc)).count()
+    // the cap suppressed work (unique doc pairs emitted < the full clique)
+    // AND counted it (suppressed candidate entry-pairs, analogous to
+    // Lsh.saltedDropEstimate's per-band candidate accounting)
+    assert(found < 1200L * 1199 / 2, "cap must actually truncate the clique")
+    assert(acc.value > 0, "cap must record dropped candidate pairs")
+  }
+
+  test("shardsFor scales with corpus bytes, floored at the config value") {
+    assert(ExactSubstr.shardsFor(0L, cfg) === cfg.substrShards)
+    assert(ExactSubstr.shardsFor(1L, cfg) === cfg.substrShards)
+    val big = 100L * ExactSubstr.TargetShardBytes
+    assert(ExactSubstr.shardsFor(big, cfg) === 100)
+    assert(ExactSubstr.shardsFor(big + 1, cfg) === 101)
+  }
+
   test("combined family is the union with max run length") {
     val docs = PagesGen.docs(spark, 300, cfg).toDF()
     val all = ExactSubstr.substrDupPairs(docs, cfg)

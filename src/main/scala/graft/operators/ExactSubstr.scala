@@ -243,39 +243,80 @@ object ExactSubstr {
         // Group maximal runs of SA entries whose consecutive LCP >= L and
         // emit EVERY cross-doc pair in the group with its range-min LCP —
         // adjacent pairs alone miss (copy1, copy2) when a run is shared by
-        // 3+ docs (the base sorts between its copies). Group size capped:
-        // a pathological shard-wide boilerplate run would otherwise emit
-        // O(g^2) pairs; dropped cross-doc pairs are COUNTED into
-        // `droppedPairs` (loud cap, never silent).
-        val MaxGroup = 1000
+        // 3+ docs (the base sorts between its copies).
+        //
+        // Hot-group discipline (same contract as Lsh hot lanes): a group
+        // whose DISTINCT DOC count exceeds saltMaxBucket is web boilerplate
+        // shared by thousands of docs — all-pairs would be O(g²) (observed:
+        // a 48k-doc boilerplate clique emitted 18M pairs at 960k docs).
+        // Such groups emit a STAR to the group's first SA entry instead:
+        // every member stays connected (CC clusters are preserved —
+        // strictly better than a truncation, which silently disconnects
+        // members beyond the cap), output is linear, and the pairs not
+        // enumerated are exactly those already transitively connected
+        // through the hub — COUNTED into `droppedPairs` (loud cap, never
+        // silent). With byte-scaled shards (shardsFor) the docs-per-shard
+        // is bounded, so the per-group doc count of a corpus-wide clique is
+        // bounded too: the route is asymptotically linear in corpus size.
+        // MaxGroup additionally bounds SA-entry count (multi-position docs).
+        val MaxGroup = math.max(1, cfg.saltMaxBucket)
         val gDocs = new scala.collection.mutable.ArrayBuffer[Int]()
         val gLcps = new scala.collection.mutable.ArrayBuffer[Int]()
-        // cross-doc pair count of the first `upTo` entries: C(m,2) − Σ_d C(c_d,2)
-        def crossDocPairs(upTo: Int): Long = {
-          val m = math.min(gDocs.length, upTo).toLong
+        def record(da: Int, db: Int, minL: Int): Unit =
+          if (da != db) {
+            val key = (math.min(shard(da)._1, shard(db)._1),
+                       math.max(shard(da)._1, shard(db)._1))
+            if (minL > best.getOrElse(key, 0)) best(key) = minL
+          }
+        // cross-doc pair count of the whole group: C(m,2) − Σ_d C(c_d,2)
+        def crossDocPairs(): Long = {
+          val m = gDocs.length.toLong
           val byDoc = new scala.collection.mutable.HashMap[Int, Long]()
           var i = 0
           while (i < m) { byDoc(gDocs(i)) = byDoc.getOrElse(gDocs(i), 0L) + 1; i += 1 }
           m * (m - 1) / 2 - byDoc.valuesIterator.map(c => c * (c - 1) / 2).sum
         }
         def flush(): Unit = {
-          if (gDocs.length > MaxGroup)
-            droppedPairs.foreach(_.add(crossDocPairs(gDocs.length) - crossDocPairs(MaxGroup)))
-          var i = 0
-          while (i < gDocs.length && i < MaxGroup) {
-            var minL = Int.MaxValue
-            var j = i + 1
-            while (j < gDocs.length && j < MaxGroup) {
-              minL = math.min(minL, gLcps(j - 1))
-              val (da, db) = (gDocs(i), gDocs(j))
-              if (da != db) {
-                val key = (math.min(shard(da)._1, shard(db)._1),
-                           math.max(shard(da)._1, shard(db)._1))
-                if (minL > best.getOrElse(key, 0)) best(key) = minL
-              }
-              j += 1
+          val g = gDocs.length
+          // distinct docs in the group decide the discipline (a clique of
+          // docs is hot even when each contributes one SA entry)
+          var nDocs = 0
+          if (g > 0) {
+            val seen = new scala.collection.mutable.HashSet[Int]()
+            var i = 0
+            while (i < g && nDocs <= MaxGroup) {
+              if (seen.add(gDocs(i))) nDocs += 1
+              i += 1
             }
-            i += 1
+          }
+          // star when the doc clique exceeds the cap, or when SA entries
+          // (docs with the run repeated internally) would make the
+          // all-pairs loop quadratic beyond ~C(4·cap, 2)
+          if (nDocs > MaxGroup || g > 4 * MaxGroup) {
+            // star to the first entry; spoke i's run vs the hub is the
+            // prefix-min of the adjacent LCPs (range-min property)
+            var emitted = 0L
+            var minL = Int.MaxValue
+            var i = 1
+            while (i < g) {
+              minL = math.min(minL, gLcps(i - 1))
+              if (gDocs(i) != gDocs(0)) emitted += 1
+              record(gDocs(0), gDocs(i), minL)
+              i += 1
+            }
+            droppedPairs.foreach(_.add(crossDocPairs() - emitted))
+          } else {
+            var i = 0
+            while (i < g) {
+              var minL = Int.MaxValue
+              var j = i + 1
+              while (j < g) {
+                minL = math.min(minL, gLcps(j - 1))
+                record(gDocs(i), gDocs(j), minL)
+                j += 1
+              }
+              i += 1
+            }
           }
           gDocs.clear(); gLcps.clear()
         }

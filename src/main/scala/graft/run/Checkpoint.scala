@@ -48,6 +48,44 @@ object Checkpoint {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Stable managed-table name for a bucketed stage (the metastore is
+    * session-global, so the root path is folded in to keep concurrent runs
+    * apart). */
+  def bucketedTableName(root: String, stage: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_${stage}_$h"
+  }
+
+  /**
+   * Bucketed variant of `stage`: materializes into a managed table
+   * bucketed+sorted by `byCol` (locally parquet bucketing; Iceberg
+   * `bucket(n, col)` in prod via the TableIO seam), so every later join on
+   * `byCol` — the verify joins each incremental re-run repeats — reads the
+   * table WITHOUT an Exchange on this side. Resume gate identical to
+   * `stage`.
+   */
+  def stageBucketed(spark: SparkSession, root: String, name: String, cfg: DedupConfig,
+                    runId: String, buckets: Int, byCol: String)
+                   (build: => DataFrame): DataFrame = {
+    val tbl = bucketedTableName(root, name)
+    readManifest(spark, root, name) match {
+      case Some(m) if m.configHash == cfg.configHash && spark.catalog.tableExists(tbl) =>
+        Metrics.append(spark, root, runId, name, m.rowCount, 0L, resumed = true)
+        spark.table(tbl)
+      case _ =>
+        val t0 = System.nanoTime()
+        graft.sources.TableIO.writeBucketed(build, tbl, buckets, byCol, Some(byCol))
+        val out = spark.table(tbl)
+        val rows = out.count()
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        writeManifest(spark, root, Manifest(name, cfg.configHash, rows, wallMs))
+        Metrics.append(spark, root, runId, name, rows, wallMs, resumed = false)
+        Lineage.append(spark, root, runId, name, cfg.configHash, out)
+        out
+    }
+  }
+
   /**
    * Run (or resume) one stage: if `<root>/<stage>` carries a manifest with
    * the current configHash, read it back; otherwise compute `build`,

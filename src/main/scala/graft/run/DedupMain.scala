@@ -96,8 +96,14 @@ object DedupMain {
     val docs = stage("docs") {
       toDocs(graft.sources.TableIO.read(spark, inputRef))
     }
-    val shingled = stage("shingled") { Lsh.shingled(docs, cfg) }
-    val signatures = stage("signatures") {
+    // shingles + signatures are the tables every verify join (and every
+    // incremental re-run) re-joins on doc_id — bucketing them by doc_id
+    // makes those joins Exchange-free on this (heavy) side
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def stageBucketed(name: String)(build: => DataFrame): DataFrame =
+      Checkpoint.stageBucketed(spark, root, name, cfg, runId, buckets, "doc_id")(build)
+    val shingled = stageBucketed("shingled") { Lsh.shingled(docs, cfg) }
+    val signatures = stageBucketed("signatures") {
       Lsh.signatures(shingled, cfg)
         .join(Lsh.simhashes(docs, cfg), "doc_id")
     }

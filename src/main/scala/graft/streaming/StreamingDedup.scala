@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.DedupConfig
 import graft.functions.Fns
-import graft.operators.Lsh
+import graft.operators.{ConnectedComponents, Lsh}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -22,6 +22,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   final case class BandKey(band: Int, key: Long, doc_id: Long)
+  /** Schema anchor for the bridge's durable key table (doc_id, key). */
+  final case class BandKeyRow(doc_id: Long, key: Long)
   final case class CandPair(a: Long, b: Long, band: Int, key: Long)
   /** Bounded bucket membership, plus how many docs the cap suppressed. */
   final case class BucketState(members: List[Long], suppressed: Long)
@@ -62,6 +64,85 @@ object StreamingDedup {
           } yield CandPair(math.min(n, o), math.max(n, o), band, key)
           newPairs.iterator
       }
+  }
+
+  /**
+   * foreachBatch bridge (SURVEY §2.10 → batch stages): each micro-batch of
+   * docs is shingled once and appended to durable state tables; NEW
+   * candidate pairs (this batch's band keys ⋈ all keys so far — every pair
+   * involves ≥1 new doc, so no pair is ever produced twice) are verified
+   * against the accumulated shingle table, appended to the verified-pair
+   * table, and the cluster snapshot is rebuilt with the SAME batch CC
+   * operator. Invariant (tested): after replaying a corpus in any number of
+   * micro-batches, the cluster snapshot equals the batch pipeline's
+   * clusters on that corpus.
+   *
+   * State lives in tables, not executor memory — restart-safe alongside
+   * the streaming checkpoint. Hot-bucket capping for the stateful in-memory
+   * route is `candidatePairsStream`; here buckets are bounded by the same
+   * census+salt pass as batch (applied to the accumulated key table).
+   */
+  def foreachBatchClusters(streamingDocs: DataFrame, cfg: DedupConfig, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    streamingDocs.writeStream
+      .option("checkpointLocation", s"$root/_stream_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        def exists(p: String): Boolean = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(path) &&
+            fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.parquet")).nonEmpty
+        }
+        val sh = Lsh.shingled(batch.toDF(), cfg).localCheckpoint()
+        val newKeys = Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg)
+          .select("doc_id", "key").localCheckpoint()
+        val oldKeys =
+          if (exists(s"$root/keys")) spark.read.parquet(s"$root/keys").localCheckpoint()
+          else spark.emptyDataset[BandKeyRow](
+            org.apache.spark.sql.Encoders.product[BandKeyRow]).toDF()
+        sh.write.mode("append").parquet(s"$root/shingled")
+        newKeys.write.mode("append").parquet(s"$root/keys")
+        val allKeys = oldKeys.unionByName(newKeys)
+        // new × all bucket join (all includes new, so new-new pairs collide
+        // too); every emitted pair involves ≥1 new doc → no pair repeats
+        // across batches. Hot buckets (census over ALL members, same cap as
+        // batch) emit hub edges instead of the quadratic product: every new
+        // member to the bucket's global-min hub, plus hub-to-previous-hub
+        // when a new arrival takes over the minimum — connectivity matches
+        // the batch star lanes.
+        val cap = math.max(1, cfg.saltMaxBucket)
+        val hot = allKeys.groupBy("key").count().where(col("count") > cap).select("key")
+        val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
+        val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
+        val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
+          .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
+          .where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+                  greatest(col("x"), col("y")).as("b"))
+        val hubAll = allKeys.join(broadcast(hot), Seq("key"))
+          .groupBy("key").agg(min("doc_id").as("hub"))
+        val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
+          .groupBy("key").agg(min("doc_id").as("old_hub"))
+        val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
+          .join(hubAll, "key")
+          .where(col("doc_id") =!= col("hub"))
+          .select(col("hub").as("a"), col("doc_id").as("b"))
+        val hubChain = hubAll.join(hubOld, "key")
+          .where(col("hub") =!= col("old_hub"))
+          .select(col("hub").as("a"), col("old_hub").as("b"))
+        val cands = coldCands.unionByName(hotSpokes).unionByName(hubChain)
+          .select(least(col("a"), col("b")).as("a"),
+                  greatest(col("a"), col("b")).as("b"))
+          .distinct()
+        val allSh = spark.read.parquet(s"$root/shingled")
+        Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
+          .write.mode("append").parquet(s"$root/pairs")
+        if (exists(s"$root/pairs"))
+          ConnectedComponents.assign(spark.read.parquet(s"$root/pairs"))
+            .write.mode("overwrite").parquet(s"$root/clusters")
+      }
+      .start()
   }
 
   /** Windowed event-time throughput rollup with late-data watermark:

@@ -48,6 +48,21 @@ class TextOpsSpec extends SparkSuite {
     assert(r4.isNullAt(5) && r4.isNullAt(6) && r4.isNullAt(7))
   }
 
+  test("HLL approx distinct stays within its 2% rsd bound (x5) of exact") {
+    // the q31 contract: sketch values are engine-specific, but the error
+    // bound is an invariant we pin here
+    val docs = graft.sources.PagesGen.docs(spark, 400, graft.DedupConfig.test).toDF()
+    val sh = graft.operators.Lsh.shingled(docs, graft.DedupConfig.test)
+      .select(explode(col("shingles")).as("x"))
+    val row = sh.agg(
+      countDistinct(col("x")).as("exact"),
+      approx_count_distinct(col("x"), 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx=$approx exact=$exact drift over 10%")
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val got = TextOps.langId(corpus)
       .select("doc_id", "predicted").as[(Long, String)].collect().toMap

@@ -36,6 +36,37 @@ class DedupMainSpec extends SparkSuite {
     }
   }
 
+  test("bucketed shingled stage: verify join needs no Exchange on the shingle side") {
+    val cfg = graft.DedupConfig.test
+    val input = tmpRoot() + "/docs.parquet"
+    PagesGen.docs(spark, 200, cfg).toDF().write.parquet(input)
+    val root = tmpRoot()
+    DedupMain.run(spark, input, root, cfg, "r1")
+    val shingled = spark.table(Checkpoint.bucketedTableName(root, "shingled"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def verifyPlan(sh: org.apache.spark.sql.DataFrame): String = {
+        val cands = graft.operators.Lsh.candidatePairs(
+          spark.read.parquet(s"$root/band_keys")
+            .where(org.apache.spark.sql.functions.col("family") === "minhash")
+            .select("doc_id", "key", "salt", "is_hot"))
+        graft.operators.Lsh.verifyJaccard(cands, sh, cfg)
+          .queryExecution.executedPlan.toString
+      }
+      val bucketedPlan = verifyPlan(shingled)
+      assert(bucketedPlan.contains("Bucketed: true"),
+        s"shingle scans must be bucketed:\n$bucketedPlan")
+      def exchanges(p: String) = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      val plainPlan = verifyPlan(
+        graft.operators.Lsh.shingled(spark.read.parquet(s"$root/docs"), cfg))
+      assert(exchanges(bucketedPlan) < exchanges(plainPlan),
+        s"bucketing must remove the shingle-side exchanges " +
+          s"(${exchanges(bucketedPlan)} vs ${exchanges(plainPlan)})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("spark-submit pipeline candidate pairs match the Dedup facade on a hot corpus") {
     // saltMaxBucket small enough that the 5% hot boilerplate docs trip the
     // census: the dup_pairs stage must keep is_hot so its star-vs-clique

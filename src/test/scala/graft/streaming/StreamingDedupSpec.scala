@@ -37,6 +37,29 @@ class StreamingDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch bridge: streamed clusters == batch clusters on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val n = 300
+    val docs = PagesGen.docs(spark, n, cfg).collect()
+    val root = java.nio.file.Files.createTempDirectory("graft-bridge").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingDedup.foreachBatchClusters(
+      stream.toDF().toDF("doc_id", "text", "lang"), cfg, root)
+    try {
+      docs.grouped(90).foreach { b =>
+        stream.addData(b.map(d => (d.doc_id, d.text, d.lang)).toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(s"$root/clusters")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.operators.ConnectedComponents.assign(
+        Lsh.minhashDupPairs(PagesGen.docs(spark, n, cfg).toDF(), cfg))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"extra=${streamed -- batch} missing=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("windowed doc counts with watermark over the pages stream") {
     implicit val sqlCtx = spark.sqlContext
     val pages = PagesGen.pages(spark, 120, cfg).collect()

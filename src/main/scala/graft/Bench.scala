@@ -17,8 +17,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle on tmpfs when available (local[N] shares one disk across all
+    // N task threads; a real cluster has local disks per executor)
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) {
+        val d = new java.io.File("/dev/shm/graft-shuffle")
+        d.mkdirs(); d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -129,16 +129,10 @@ object SparkEntry {
     "q21_substr_pairs" -> ((s, dir) =>
       graft.operators.ExactSubstr.substrDupPairs(docs(s, dir), cfg).orderBy("a", "b")),
 
-    // V3+G1-G5 — full evidence accumulation: all three families → clusters.
-    "q22_eac_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Lsh.dupPairs(
-        Lsh.minhashDupPairs(d, cfg),
-        Lsh.simhashDupPairs(d, cfg),
-        graft.operators.ExactSubstr.substrDupPairs(d, cfg))
-      ConnectedComponents.clusters(ConnectedComponents.assign(pairs.select("a", "b")))
-        .orderBy("doc_id")
-    }),
+    // V3+G1-G5 — full evidence accumulation: all three families → clusters
+    // (facade path: one shared docs materialization across the families).
+    "q22_eac_clusters" -> ((s, dir) =>
+      graft.Dedup.clusters(docs(s, dir), cfg).orderBy("doc_id")),
 
     // M3 — MinHashUnion Aggregator: per-lang set-union signature.
     "q23_lang_signature" -> ((s, dir) => {

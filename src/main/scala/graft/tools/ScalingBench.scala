@@ -29,9 +29,18 @@ object ScalingBench {
     val cfg = DedupConfig.test
     val corpus = s"/tmp/graft_scale_corpus_$n"
 
+    // shuffle files on tmpfs when available: local[N] puts all N "executors"
+    // on one NVMe, which saturates at ~8 writer threads and caps measured
+    // thread-scaling; a real cluster has one local disk set PER executor.
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) {
+        val d = new java.io.File("/dev/shm/graft-shuffle")
+        d.mkdirs(); d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaling-bench")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

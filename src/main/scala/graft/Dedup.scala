@@ -17,7 +17,7 @@ object Dedup {
     * three families — without this each family re-runs the scan/extract
     * chain, which dominates when text comes from html. */
   def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
-    val d = docs.localCheckpoint(false)
+    val d = docs.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     Lsh.dupPairs(
       Lsh.minhashDupPairs(d, cfg),
       Lsh.simhashDupPairs(d, cfg),

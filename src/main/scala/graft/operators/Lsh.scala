@@ -101,7 +101,7 @@ object Lsh {
     // input is reused by the census AND the main join below — materialize
     // once (lineage-truncating block cache) instead of recomputing the
     // whole scan→shingle→signature→banding chain twice
-    val bk = bandKeys.localCheckpoint(false)
+    val bk = bandKeys.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the key encodes its band (B1/B2), so the census groups on ONE long
     val hot = bk.groupBy("key").count()
       .where(col("count") > cfg.saltMaxBucket)
@@ -224,7 +224,7 @@ object Lsh {
     * at 10^12 docs the reuse comes from its durable stage materialization
     * rather than executor block cache. */
   def minhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sh = shingled(docs, cfg).localCheckpoint(false)
+    val sh = shingled(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
     // candidates are consumed exactly once (the verify join) — caching them
     // here would be pure block-manager pressure
@@ -233,7 +233,7 @@ object Lsh {
 
   /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming). */
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sims = simhashes(docs, cfg).localCheckpoint(false)
+    val sims = simhashes(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(simhashBandKeys(sims, cfg), cfg)
     verifyHamming(candidatePairs(keys), sims, cfg)
   }

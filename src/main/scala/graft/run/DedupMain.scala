@@ -144,7 +144,7 @@ object DedupMain {
       def cands(family: String) =
         Lsh.candidatePairs(bandKeys.where(col("family") === family)
           .select("doc_id", "key", "salt", "is_hot"))
-          .localCheckpoint(false)
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val mhc = cands("minhash")
       val shc = cands("simhash")
       val (nMh, nSh) = (mhc.count(), shc.count())

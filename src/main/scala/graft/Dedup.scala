@@ -1,8 +1,10 @@
 package graft
 
+import graft.functions.Fns
 import graft.operators.{ConnectedComponents, ExactSubstr, Lsh}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * The user-facing façade: what a caller of the reference engine switches
@@ -12,16 +14,31 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Family-tagged verified duplicate pairs (a, b, family). The docs table
-    * (scan + possible E1 extraction) is materialized once and shared by all
-    * three families — without this each family re-runs the scan/extract
-    * chain, which dominates when text comes from html. */
+  /** Family-tagged verified duplicate pairs (a, b, family).
+    *
+    * Reuse discipline (mirrors DedupMain's staged pipeline, in block-cache
+    * form): the docs table (scan + possible E1 extraction) is materialized
+    * once; then ONE projection over it computes BOTH per-doc fingerprints —
+    * shingles and simhash — into a single cached table that feeds banding
+    * AND both verify joins. Splitting the families into independent
+    * `minhashDupPairs`/`simhashDupPairs` calls (the pre-r3 shape) scanned
+    * the cached docs and ran the text-processing pass once per family. */
   def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
-    val d = docs.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    Lsh.dupPairs(
-      Lsh.minhashDupPairs(d, cfg),
-      Lsh.simhashDupPairs(d, cfg),
-      ExactSubstr.substrDupPairs(d, cfg))
+    val d = docs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val fp = d.select(col("doc_id"),
+        Fns.shingleHashes(col("text"), cfg).as("shingles"),
+        Fns.simhash64(col("text"), cfg).as("simhash"))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val shingled = fp.select("doc_id", "shingles")
+    val simhashes = fp.select("doc_id", "simhash")
+    val mh = Lsh.verifyJaccard(
+      Lsh.candidatePairs(Lsh.saltBandKeys(
+        Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg)),
+      shingled, cfg)
+    val sh = Lsh.verifyHamming(
+      Lsh.candidatePairs(Lsh.saltBandKeys(Lsh.simhashBandKeys(simhashes, cfg), cfg)),
+      simhashes, cfg)
+    Lsh.dupPairs(mh, sh, ExactSubstr.substrDupPairs(d, cfg))
   }
 
   /** Cluster table (doc_id, cluster_id, cluster_size, is_canonical) for

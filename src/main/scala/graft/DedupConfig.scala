@@ -16,6 +16,14 @@ package graft
  *    quarters).
  *  - gramLen=100, winnowW=50: winnowing guarantees detection of exact
  *    repeats ≥ gramLen + winnowW - 1 = 149 bytes (SURVEY.md App A.3).
+ *  - pairListMaxClique=64: star threshold for the substring family's PAIR
+ *    ENUMERATION, deliberately lower than saltMaxBucket. saltMaxBucket
+ *    bounds join/bucket task size (a memory/skew limit); this bounds the
+ *    emitted pair-table size (an output-volume limit): a clique of n
+ *    mutual substring dups emits O(n) star+chain pairs instead of C(n,2) —
+ *    at 960k docs the sub-saltMaxBucket boilerplate cliques emitted 18.9M
+ *    all-pairs rows, redundant for clustering (transitively connected).
+ *    ≤0 falls back to saltMaxBucket (and to uncapped if that is ≤0 too).
  */
 final case class DedupConfig(
     shingleUnit: String = "word", // "word" | "char" (char = byte k-grams)
@@ -31,6 +39,7 @@ final case class DedupConfig(
     winnowW: Int = 50,
     substrMinFrac: Double = 0.2,
     substrShards: Int = 64,
+    pairListMaxClique: Int = 64,
     saltMaxBucket: Int = 1000,
     seed: Long = 0x5EAC15DL) {
 

@@ -70,26 +70,31 @@ object ConnectedComponents {
    * cluster_id = min doc_id of the component. Only nodes that appear in at
    * least one pair are emitted (singletons are not duplicates).
    */
+  /** The RDD a checkpointed Dataset wraps (its analyzed plan is a
+    * LogicalRDD) — the handle whose blocks the round lifecycle below
+    * unpersists. Tracking the handle directly keeps the lifecycle scoped to
+    * THIS iteration's own checkpoints: diffing the session-global
+    * persistent-RDD registry (the pre-r3 approach) captured — and
+    * unpersisted mid-flight — RDDs persisted by any concurrent job in the
+    * same session (e.g. the streaming foreachBatch bridge). */
+  private def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def assign(pairs: DataFrame, maxRoundsHint: Option[Int] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     // Checkpoint-block lifecycle: each round's edge blocks are only needed
     // until the NEXT round materializes — without explicit unpersist the
     // blocks of every round pile up until GC notices (at 10^7+ edges ×
-    // O(log n) rounds that is an OOM, observed at 960k docs). We diff the
-    // persistent-RDD registry around each localCheckpoint to find the new
-    // blocks and drop the previous round's once the successor is computed.
-    def rddIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def dropRdds(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-
-    val ids0 = rddIds
+    // O(log n) rounds that is an OOM, observed at 960k docs).
     var edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var prevRoundIds = rddIds -- ids0
+    var prevRdd = checkpointedRdd(edges)
 
     var (prevN, prevH) = fingerprint(edges)
     val maxRounds = maxRoundsHint.getOrElse(
@@ -102,15 +107,14 @@ object ConnectedComponents {
       // that materializes it — one Spark job per round, not two (driver
       // round-trip latency is the serial term that caps scaling)
       val stepped = smallStar(largeStar(edges))
-      val idsBefore = rddIds
       val next =
         if (reliable && round % ReliableCheckpointEvery == ReliableCheckpointEvery - 1)
           stepped.checkpoint(false) // durable: survives executor loss
         else stepped.localCheckpoint(false)
       val (n, h) = fingerprint(next)
-      val thisRoundIds = rddIds -- idsBefore
-      dropRdds(prevRoundIds)
-      prevRoundIds = thisRoundIds
+      // the successor is materialized — the previous round's blocks are dead
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = checkpointedRdd(next)
       converged = n == prevN && h == prevH
       prevN = n; prevH = h
       edges = next

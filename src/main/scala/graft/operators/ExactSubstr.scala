@@ -3,6 +3,7 @@ package graft.operators
 import graft.DedupConfig
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /**
  * Exact-substring dedup pass (SURVEY.md §2.7, ops X1–X4; [Lee22] ExactSubstr
@@ -17,13 +18,21 @@ import org.apache.spark.sql.functions._
  *    guaranteed to collide (App A.3). Index density ≈ 2/(w+1) ≈ 4%.
  *  - within-shard route: per-partition suffix array (X4) catches repeats
  *    of ≥ gramLen bytes between co-partitioned docs (shorter than the
- *    winnowing guarantee). Sandbox note: suffix sorting uses a direct
- *    comparator (shards here are ≤ a few MB); a production 256 MB shard
- *    would swap in SA-IS behind the same signature.
+ *    winnowing guarantee).
  *
  * Scale: only ~4% of corpus positions are indexed; the gram shuffle is
  * (hash, doc, offset) triples; verification joins fetch texts for candidate
  * pairs only (semi-join restriction).
+ *
+ * Pair-enumeration discipline (both routes): duplicate CLIQUES — boilerplate
+ * shared by many docs — are quadratic if enumerated. Groups with more than
+ * `pairStarCap` distinct docs emit linear stars (+ SA-adjacent chain edges in
+ * X4) instead of all pairs; suppressed pairs are COUNTED into the caller's
+ * accumulator (loud cap, never silent). Cluster output is preserved: every
+ * member stays transitively connected through the hub/chain whenever its
+ * star or chain edge passes the length filters, and those edges carry the
+ * exact pairwise run lengths (range-min over the SA interval), so they pass
+ * exactly when the suppressed pairs adjacent to them would have.
  */
 object ExactSubstr {
 
@@ -31,6 +40,17 @@ object ExactSubstr {
   final case class SubstrPair(a: Long, b: Long, match_len: Int)
 
   private final val B = 0x100000001B3L // odd 64-bit polynomial base (FNV prime)
+
+  /** Star threshold for substring-family pair enumeration: the output-volume
+    * cap (pairListMaxClique), falling back to the task-size cap
+    * (saltMaxBucket) and then to uncapped. Kept separate from saltMaxBucket
+    * on purpose: the 960k corpus showed true-dup cliques BELOW saltMaxBucket
+    * (≈750 docs/shard) whose C(n,2) enumeration dominated the whole family's
+    * output (18.9M pairs) while being redundant for clustering. */
+  private[graft] def pairStarCap(cfg: DedupConfig): Int =
+    if (cfg.pairListMaxClique > 0) cfg.pairListMaxClique
+    else if (cfg.saltMaxBucket > 0) cfg.saltMaxBucket
+    else Int.MaxValue
 
   /** Rolling-hash values of every `len`-byte window. */
   private[operators] def rollingHashes(bytes: Array[Byte], len: Int): Array[Long] = {
@@ -105,18 +125,35 @@ object ExactSubstr {
   /** X2 — candidate doc pairs from gram collisions, with one deterministic
     * witness offset pair (minimal offsets) per (a, b).
     *
-    * Hot-gram discipline (same contract as Lsh hot buckets): a gram shared
-    * by more docs than saltMaxBucket — web boilerplate — would enumerate a
-    * quadratic clique; such groups split into salt lanes (per-(doc,gram)
-    * salt so multiple shared grams cross-link lanes) and each lane emits a
-    * STAR to its minimal (doc, off) witness. */
-  def candidates(grams: Dataset[Gram], cfg: DedupConfig): DataFrame = {
+    * Hot-gram discipline: a gram shared by more entries than `pairStarCap`
+    * — web boilerplate — would enumerate a quadratic clique; such groups
+    * split into salt lanes (per-(doc,gram) salt so multiple shared grams
+    * cross-link lanes) and each lane emits a STAR to its minimal (doc, off)
+    * witness. The candidate pairs this suppresses — exactly the ones that
+    * are transitively connected through the lane hub — are counted into
+    * `dropped` when given (a small EAGER census aggregation; the census is
+    * computed once and shared with the salting broadcast). */
+  def candidates(grams: Dataset[Gram], cfg: DedupConfig,
+                 dropped: Option[LongAccumulator] = None): DataFrame = {
     val g = grams.toDF("gram", "doc_id", "off")
-    val cap = math.max(1, cfg.saltMaxBucket)
+    val cap = math.max(1, pairStarCap(cfg))
+    // the hot census is consumed by the salting broadcast AND (optionally)
+    // the drop-estimate aggregation — materialize the tiny result once
     val hotGrams = g.groupBy("gram").count()
       .where(col("count") > cap)
-      .select(col("gram"), ceil(col("count") / cap).cast("int").as("nsalt"))
-    val salted = g.join(broadcast(hotGrams), Seq("gram"), "left")
+      .select(col("gram"), col("count"),
+              ceil(col("count") / cap).cast("int").as("nsalt"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    dropped.foreach { acc =>
+      // per hot gram of n entries in s lanes the star emits ~(n − s) of its
+      // C(n,2) candidate entry-pairs; the remainder is the (estimated)
+      // suppressed count — same accounting as Lsh.saltedDropEstimate
+      val est = hotGrams.agg(coalesce(sum(
+        col("count").cast("double") * (col("count") - 1) / 2
+          - (col("count") - col("nsalt"))), lit(0.0))).head().getDouble(0).toLong
+      acc.add(est)
+    }
+    val salted = g.join(broadcast(hotGrams.drop("count")), Seq("gram"), "left")
       .withColumn("is_hot", col("nsalt").isNotNull)
       .withColumn("salt",
         when(col("nsalt").isNull, lit(0))
@@ -195,26 +232,45 @@ object ExactSubstr {
     * shards ⇒ same pairs" holds at any cluster size, while shard size stays
     * bounded as the corpus grows (a pinned count would OOM at 100×).
     * Pipeline runners should record the chosen value (DedupMain writes a
-    * metrics row). */
+    * metrics row) and fold it into the dup_pairs stage manifest so resume
+    * detects a corpus-growth divergence. */
   def shardsFor(totalTextBytes: Long, cfg: DedupConfig): Int =
     math.max(cfg.substrShards,
       ((totalTextBytes + TargetShardBytes - 1) / TargetShardBytes).toInt)
 
+  /** Total UTF-8 text bytes of a docs table — the `shardsFor` input. One
+    * column-pruned scan; runners compute it once and reuse it. */
+  def totalTextBytes(docs: DataFrame): Long =
+    docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L))).head().getLong(0)
+
   /** X4 — within-shard repeats via a per-partition suffix array over the
     * concatenated shard bytes. Emits (a, b, match_len) for cross-doc
-    * suffix groups with LCP ≥ gramLen. `numShards` defaults to the config
-    * floor; pass `shardsFor(totalBytes, cfg)` for byte-scaled sharding.
-    * `droppedPairs` (when given) counts cross-doc pairs suppressed by the
-    * MaxGroup cap — the loud-cap contract (same as Lsh.saltedDropEstimate):
-    * capped work is counted and reported, never silently truncated. */
+    * suffix groups with LCP ≥ gramLen that also pass the substrMinFrac
+    * length-fraction filter (applied EAGERLY, per pair, inside the shard —
+    * so the star discipline below sees exactly the pairs that survive).
+    *
+    * `numShards`: None ⇒ byte-scaled via `shardsFor(totalTextBytes(docs))`
+    * (ONE eager aggregation at build time) — the single source of truth for
+    * shard composition across the facade, SparkEntry and DedupMain.
+    *
+    * Hot-group discipline (`pairStarCap`): an SA group shared by more
+    * distinct docs than the cap emits, per member, its STAR edge to the
+    * group's first entry (prefix-min LCP = the TRUE pairwise run length vs
+    * the hub, by the range-min property) and, when the star edge fails the
+    * length filters, its SA-ADJACENT chain edge (the longest run this
+    * member shares with any group neighbor) as a connectivity fallback —
+    * linear output, clusters preserved, suppressed pairs COUNTED into
+    * `droppedPairs` (loud cap, never silent). */
   def shardRepeats(docs: DataFrame, cfg: DedupConfig,
                    numShards: Option[Int] = None,
-                   droppedPairs: Option[org.apache.spark.util.LongAccumulator] = None)
+                   droppedPairs: Option[LongAccumulator] = None)
       : Dataset[SubstrPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val L = cfg.gramLen
-    val shards = numShards.getOrElse(cfg.substrShards)
+    val frac = cfg.substrMinFrac
+    val starCap = pairStarCap(cfg)
+    val shards = numShards.getOrElse(shardsFor(totalTextBytes(docs), cfg))
     // Shard composition is pinned by (configHash, input bytes): hash-
     // repartition on doc_id into `shards` shards, so "same config ⇒ same
     // pairs" holds at ANY parallelism (upstream partitioning must not leak
@@ -239,35 +295,36 @@ object ExactSubstr {
           pos += t.length + 1
         }
         val sa = suffixArray(buf)
-        val best = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+        // Pair accumulation is primitive end-to-end: records of
+        // (key = packed doc-index pair, value = run length) interleaved in
+        // one long array, sort-deduped at the end keeping the max run.
+        // (A HashMap[(Long, Long), Int] here boxed one tuple per candidate
+        // pair × 64+ concurrent shard tasks — measured GC-pressure class.)
+        var recs = new Array[Long](2048)
+        var nRecs = 0 // record count (2 longs each)
+        // Record a cross-doc pair iff it passes BOTH length criteria —
+        // the absolute floor and the fraction of the shorter doc (docs
+        // sharing only a cookie banner are not duplicates). Filtering
+        // EAGERLY (not after dedupe) makes the star discipline's
+        // connectivity and drop accounting exact: an edge either exists
+        // and was counted, or was dropped and was counted.
+        def record(da: Int, db: Int, l: Int): Boolean = {
+          if (da == db) return false
+          val lo = math.min(da, db); val hi = math.max(da, db)
+          if (l < L || l < frac * math.min(texts(lo).length, texts(hi).length))
+            return false
+          if (2 * nRecs + 2 > recs.length) recs = java.util.Arrays.copyOf(recs, recs.length * 2)
+          recs(2 * nRecs) = (lo.toLong << 32) | hi
+          recs(2 * nRecs + 1) = l
+          nRecs += 1
+          true
+        }
         // Group maximal runs of SA entries whose consecutive LCP >= L and
-        // emit EVERY cross-doc pair in the group with its range-min LCP —
+        // emit cross-doc pairs in the group with their range-min LCP —
         // adjacent pairs alone miss (copy1, copy2) when a run is shared by
         // 3+ docs (the base sorts between its copies).
-        //
-        // Hot-group discipline (same contract as Lsh hot lanes): a group
-        // whose DISTINCT DOC count exceeds saltMaxBucket is web boilerplate
-        // shared by thousands of docs — all-pairs would be O(g²) (observed:
-        // a 48k-doc boilerplate clique emitted 18M pairs at 960k docs).
-        // Such groups emit a STAR to the group's first SA entry instead:
-        // every member stays connected (CC clusters are preserved —
-        // strictly better than a truncation, which silently disconnects
-        // members beyond the cap), output is linear, and the pairs not
-        // enumerated are exactly those already transitively connected
-        // through the hub — COUNTED into `droppedPairs` (loud cap, never
-        // silent). With byte-scaled shards (shardsFor) the docs-per-shard
-        // is bounded, so the per-group doc count of a corpus-wide clique is
-        // bounded too: the route is asymptotically linear in corpus size.
-        // MaxGroup additionally bounds SA-entry count (multi-position docs).
-        val MaxGroup = math.max(1, cfg.saltMaxBucket)
         val gDocs = new scala.collection.mutable.ArrayBuffer[Int]()
         val gLcps = new scala.collection.mutable.ArrayBuffer[Int]()
-        def record(da: Int, db: Int, minL: Int): Unit =
-          if (da != db) {
-            val key = (math.min(shard(da)._1, shard(db)._1),
-                       math.max(shard(da)._1, shard(db)._1))
-            if (minL > best.getOrElse(key, 0)) best(key) = minL
-          }
         // cross-doc pair count of the whole group: C(m,2) − Σ_d C(c_d,2)
         def crossDocPairs(): Long = {
           val m = gDocs.length.toLong
@@ -284,7 +341,7 @@ object ExactSubstr {
           if (g > 0) {
             val seen = new scala.collection.mutable.HashSet[Int]()
             var i = 0
-            while (i < g && nDocs <= MaxGroup) {
+            while (i < g && nDocs <= starCap) {
               if (seen.add(gDocs(i))) nDocs += 1
               i += 1
             }
@@ -292,19 +349,45 @@ object ExactSubstr {
           // star when the doc clique exceeds the cap, or when SA entries
           // (docs with the run repeated internally) would make the
           // all-pairs loop quadratic beyond ~C(4·cap, 2)
-          if (nDocs > MaxGroup || g > 4 * MaxGroup) {
-            // star to the first entry; spoke i's run vs the hub is the
-            // prefix-min of the adjacent LCPs (range-min property)
-            var emitted = 0L
-            var minL = Int.MaxValue
+          if (nDocs > starCap || g > 4 * starCap) {
+            // Hub = the (first, in SA order) entry of the group's MINIMAL
+            // doc_id. A run longer than gramLen produces overlapping
+            // groups at every trim level, all over the same doc set — a
+            // doc-keyed hub collapses their stars to ONE star after the
+            // sort-dedupe (a first-entry hub emitted a different star per
+            // level: measured 16× pair inflation on a 200-doc clique with
+            // a 130-byte run), and it is deterministic across within-shard
+            // row order (doc_ids are unique; SA group membership is a
+            // function of content only).
+            var h = 0
             var i = 1
             while (i < g) {
-              minL = math.min(minL, gLcps(i - 1))
-              if (gDocs(i) != gDocs(0)) emitted += 1
-              record(gDocs(0), gDocs(i), minL)
+              if (shard(gDocs(i))._1 < shard(gDocs(h))._1) h = i
               i += 1
             }
-            droppedPairs.foreach(_.add(crossDocPairs() - emitted))
+            var emitted = 0L
+            // star edges carry the TRUE pairwise run length vs the hub —
+            // the range-min of the adjacent LCPs between the two entries
+            // (scanned outward from h); the chain fallback keeps a member
+            // connected when its hub edge fails the fraction filter (e.g.
+            // a long hub doc) but its SA-adjacent pair passes
+            var minL = Int.MaxValue
+            i = h + 1
+            while (i < g) {
+              minL = math.min(minL, gLcps(i - 1))
+              if (record(gDocs(h), gDocs(i), minL)) emitted += 1
+              else if (record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
+              i += 1
+            }
+            minL = Int.MaxValue
+            i = h - 1
+            while (i >= 0) {
+              minL = math.min(minL, gLcps(i))
+              if (record(gDocs(h), gDocs(i), minL)) emitted += 1
+              else if (record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
+              i -= 1
+            }
+            droppedPairs.foreach(_.add(math.max(0L, crossDocPairs() - emitted)))
           } else {
             var i = 0
             while (i < g) {
@@ -331,15 +414,65 @@ object ExactSubstr {
           i += 1
         }
         flush()
-        // same dual criterion as the gram route: absolute floor AND a
-        // fraction of the shorter doc
-        val lenOf = shard.map(s => s._1 -> s._2.getBytes(java.nio.charset.StandardCharsets.UTF_8).length).toMap
-        best.iterator.collect { case ((a, b), l)
-          if l >= cfg.substrMinFrac * math.min(lenOf(a), lenOf(b)) =>
-          SubstrPair(a, b, l)
+        // sort-dedupe the primitive records: max run length per doc pair
+        sortRecords(recs, nRecs)
+        new Iterator[SubstrPair] {
+          private var r = 0
+          def hasNext: Boolean = r < nRecs
+          def next(): SubstrPair = {
+            val key = recs(2 * r)
+            var best = recs(2 * r + 1)
+            r += 1
+            while (r < nRecs && recs(2 * r) == key) {
+              if (recs(2 * r + 1) > best) best = recs(2 * r + 1)
+              r += 1
+            }
+            val idA = shard((key >>> 32).toInt)._1
+            val idB = shard((key & 0xffffffffL).toInt)._1
+            SubstrPair(math.min(idA, idB), math.max(idA, idB), best.toInt)
+          }
         }
       }
     }
+  }
+
+  /** In-place sort of `m` interleaved (key, value) long records by key
+    * ascending — quicksort (median-of-three, smaller-side recursion,
+    * insertion sort below 12) over primitive longs, zero allocation. */
+  private[operators] def sortRecords(a: Array[Long], m: Int): Unit = {
+    @inline def key(i: Int): Long = a(2 * i)
+    def swap(i: Int, j: Int): Unit = {
+      var t = a(2 * i); a(2 * i) = a(2 * j); a(2 * j) = t
+      t = a(2 * i + 1); a(2 * i + 1) = a(2 * j + 1); a(2 * j + 1) = t
+    }
+    def sort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo > 12) {
+        val mid = lo + (hi - lo) / 2
+        if (key(mid) < key(lo)) swap(mid, lo)
+        if (key(hi) < key(lo)) swap(hi, lo)
+        if (key(hi) < key(mid)) swap(hi, mid)
+        val p = key(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (key(i) < p) i += 1
+          while (key(j) > p) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { sort(lo, j); lo = i } else { sort(i, hi); hi = j }
+      }
+      var i = lo + 1
+      while (i <= hi) {
+        val k = a(2 * i); val v = a(2 * i + 1)
+        var j = i - 1
+        while (j >= lo && a(2 * j) > k) {
+          a(2 * (j + 1)) = a(2 * j); a(2 * (j + 1) + 1) = a(2 * j + 1); j -= 1
+        }
+        a(2 * (j + 1)) = k; a(2 * (j + 1) + 1) = v
+        i += 1
+      }
+    }
+    if (m > 1) sort(0, m - 1)
   }
 
   /** Suffix array by prefix doubling with counting sorts [Manber-Myers]:
@@ -412,14 +545,17 @@ object ExactSubstr {
 
   /** Full substring family: union of the cross-shard gram route and the
     * within-shard suffix-array route; (a, b, match_len) with the max run.
-    * `numShards`/`droppedPairs` thread through to `shardRepeats` (byte-
-    * scaled sharding and the counted MaxGroup cap). */
+    * `numShards` None ⇒ byte-scaled sharding (see `shardRepeats`) — the
+    * default for every caller (facade, SparkEntry, DedupMain) so all paths
+    * produce the same pair set at the same configHash and corpus.
+    * `droppedPairs` threads to BOTH routes' star caps (counted drops). */
   def substrDupPairs(docs: DataFrame, cfg: DedupConfig,
                      numShards: Option[Int] = None,
-                     droppedPairs: Option[org.apache.spark.util.LongAccumulator] = None)
+                     droppedPairs: Option[LongAccumulator] = None)
       : DataFrame = {
-    val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg), cfg), docs, cfg).toDF()
-    val shardRoute = shardRepeats(docs, cfg, numShards, droppedPairs).toDF()
+    val shards = numShards.getOrElse(shardsFor(totalTextBytes(docs), cfg))
+    val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg), cfg, droppedPairs), docs, cfg).toDF()
+    val shardRoute = shardRepeats(docs, cfg, Some(shards), droppedPairs).toDF()
     gramRoute.unionByName(shardRoute)
       .groupBy("a", "b")
       .agg(max("match_len").as("match_len"))

@@ -61,14 +61,22 @@ object Multimodal {
   /** Near-dup media pairs via phash Hamming, through the SAME block-
     * combination machinery as SimHash (`Lsh.hamming64BandKeys`): every pair
     * within Hamming ≤ maxHamming collides on ≥1 block key (pigeonhole), so
-    * this is EXACT — identical output to a brute crossJoin (unit-tested)
-    * without ever materializing the O(n²) product. Hot keys (identical or
-    * near-identical media cliques) are salted + star-capped like text band
-    * keys; pass saltMaxBucket ≤ 0 in `cfg` to disable capping when exact
-    * all-pairs output within hot cliques is required. */
+    * with the DEFAULT config (capping off) this is EXACT — identical output
+    * to a brute crossJoin (unit-tested) without materializing the O(n²)
+    * product.
+    *
+    * Capping is OPT-IN here (pass a cfg with saltMaxBucket > 0), unlike the
+    * text families: media pairs are a terminal pair-listing API, not CC
+    * input, so a star-suppressed pair whose hub fails the Hamming verify is
+    * LOST outright (no transitive-connectivity backstop). With capping on,
+    * a clique larger than saltMaxBucket is reported as hub stars only —
+    * use only when boilerplate-media cliques make all-pairs unpayable, and
+    * dedupe exact copies first (`mediaExactDedup`) so near-dup cliques stay
+    * small. */
   def mediaNearDupPairs(features: Dataset[MediaMeta], maxHamming: Int,
                         blocks: Int = 6,
-                        cfg: graft.DedupConfig = graft.DedupConfig.test): DataFrame = {
+                        cfg: graft.DedupConfig = graft.DedupConfig.test.copy(saltMaxBucket = 0))
+      : DataFrame = {
     val hashes = features.toDF().select(col("doc_id"), col("phash"))
     val keys = Lsh.saltBandKeys(
       Lsh.hamming64BandKeys(hashes, "phash", blocks, maxHamming), cfg)

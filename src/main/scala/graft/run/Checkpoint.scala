@@ -86,17 +86,28 @@ object Checkpoint {
     }
   }
 
+  /** Manifest key for a stage: the configHash, optionally extended with an
+    * input-derived discriminator (`extraKey`). The dup_pairs stage folds its
+    * byte-scaled substring shard count in, so a resume against a GROWN
+    * corpus (different shard composition ⇒ different within-shard pair
+    * sets at the same configHash) is detected and recomputed instead of
+    * silently reusing stale pairs. */
+  def stageKey(cfg: DedupConfig, extraKey: String): String =
+    if (extraKey.isEmpty) cfg.configHash else s"${cfg.configHash}:$extraKey"
+
   /**
    * Run (or resume) one stage: if `<root>/<stage>` carries a manifest with
-   * the current configHash, read it back; otherwise compute `build`,
-   * write parquet + manifest + metrics/lineage rows, and read back (so
-   * downstream always consumes the materialized, lineage-truncated form).
+   * the current configHash (+ extraKey), read it back; otherwise compute
+   * `build`, write parquet + manifest + metrics/lineage rows, and read back
+   * (so downstream always consumes the materialized, lineage-truncated
+   * form).
    */
   def stage(spark: SparkSession, root: String, name: String, cfg: DedupConfig,
-            runId: String)(build: => DataFrame): DataFrame = {
+            runId: String, extraKey: String = "")(build: => DataFrame): DataFrame = {
     val dir = s"$root/$name"
+    val key = stageKey(cfg, extraKey)
     readManifest(spark, root, name) match {
-      case Some(m) if m.configHash == cfg.configHash =>
+      case Some(m) if m.configHash == key =>
         Metrics.append(spark, root, runId, name, m.rowCount, 0L, resumed = true)
         spark.read.parquet(dir)
       case _ =>
@@ -106,9 +117,9 @@ object Checkpoint {
         val out = spark.read.parquet(dir)
         val rows = out.count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        writeManifest(spark, root, Manifest(name, cfg.configHash, rows, wallMs))
+        writeManifest(spark, root, Manifest(name, key, rows, wallMs))
         Metrics.append(spark, root, runId, name, rows, wallMs, resumed = false)
-        Lineage.append(spark, root, runId, name, cfg.configHash, out)
+        Lineage.append(spark, root, runId, name, key, out)
         out
     }
   }

@@ -36,7 +36,7 @@ object DedupMain {
     }.toMap
     val known = Set("k", "numPerm", "bands", "rows", "jaccard", "hamming",
       "gramLen", "winnowW", "saltMaxBucket", "substrMinFrac", "substrShards",
-      "simhashBlocks", "shingleUnit", "seed")
+      "pairListMaxClique", "simhashBlocks", "shingleUnit", "seed")
     kv.keys.find(!known.contains(_)).foreach(k => sys.error(s"unknown config arg: $k"))
     val d = DedupConfig.test
     def i(k: String, dv: Int) = kv.get(k).map(_.toInt).getOrElse(dv)
@@ -52,6 +52,7 @@ object DedupMain {
       winnowW = i("winnowW", d.winnowW),
       substrMinFrac = kv.get("substrMinFrac").map(_.toDouble).getOrElse(d.substrMinFrac),
       substrShards = i("substrShards", d.substrShards),
+      pairListMaxClique = i("pairListMaxClique", d.pairListMaxClique),
       saltMaxBucket = i("saltMaxBucket", d.saltMaxBucket),
       simhashBlocks = i("simhashBlocks", d.simhashBlocks),
       seed = kv.get("seed").map(java.lang.Long.decode(_).longValue).getOrElse(d.seed))
@@ -83,10 +84,6 @@ object DedupMain {
           runId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     def stage(name: String)(build: => DataFrame): DataFrame =
       Checkpoint.stage(spark, root, name, cfg, runId)(build)
-    // true iff the named stage will be (or was) reused at this configHash —
-    // informational metrics rows are only recorded on fresh computes
-    def resumes(name: String): Boolean =
-      Checkpoint.readManifest(spark, root, name).exists(_.configHash == cfg.configHash)
 
     // durable RDD checkpoints (CC iteration snapshots) live under the run
     // root — same filesystem as the stage outputs, survives executor loss
@@ -118,7 +115,20 @@ object DedupMain {
         .withColumn("family", lit("simhash"))
       mh.unionByName(sh)
     }
-    val dupPairsResumed = resumes("dup_pairs")
+    // Substring sharding scales with corpus bytes (determinism: a pure
+    // function of input content, not parallelism — ExactSubstr.shardsFor is
+    // the single source of truth shared with the Dedup facade/SparkEntry).
+    // Computed unconditionally: the shard count is folded into the
+    // dup_pairs resume key, so a restart against a corpus that grew past a
+    // shard boundary (different shard composition ⇒ different within-shard
+    // pair sets at the same configHash) recomputes instead of silently
+    // reusing stale pairs. The byte count is one column-pruned scan of the
+    // materialized docs stage.
+    val totalTextBytes = ExactSubstr.totalTextBytes(docs)
+    val substrShards = ExactSubstr.shardsFor(totalTextBytes, cfg)
+    val substrKey = s"substr_shards=$substrShards"
+    val dupPairsResumed = Checkpoint.readManifest(spark, root, "dup_pairs")
+      .exists(_.configHash == Checkpoint.stageKey(cfg, substrKey))
     // loud-cap accounting: hot-lane starring drops an ESTIMATED number of
     // already-transitively-connected pairs per family — recorded as metrics
     // rows, never silent (Lsh.saltedDropEstimate contract). Skipped on
@@ -128,15 +138,8 @@ object DedupMain {
         Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
         0L, resumed = false)
     }
-    // substring sharding scales with corpus bytes (determinism: a pure
-    // function of input content, not parallelism); the chosen value and the
-    // MaxGroup-capped pair count are recorded as metrics rows
-    val totalTextBytes =
-      if (dupPairsResumed) 0L
-      else docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L))).head().getLong(0)
-    val substrShards = ExactSubstr.shardsFor(totalTextBytes, cfg)
-    val substrDropped = spark.sparkContext.longAccumulator("substr_maxgroup_dropped_pairs")
-    val dupPairs = stage("dup_pairs") {
+    val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
+    val dupPairs = Checkpoint.stage(spark, root, "dup_pairs", cfg, runId, substrKey) {
       // is_hot MUST survive this projection: candidatePairs keys its
       // star-vs-clique discipline on it — dropping it would run the full
       // self-join over hot salt lanes (quadratic boilerplate blowup) and
@@ -147,7 +150,16 @@ object DedupMain {
           .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val mhc = cands("minhash")
       val shc = cands("simhash")
-      val (nMh, nSh) = (mhc.count(), shc.count())
+      // ONE action materializes BOTH lazy candidate checkpoints: the union
+      // job runs the two families' stages over the shared executor pool
+      // concurrently (two separate count() actions serialized them —
+      // observed stage-gap at 960k docs), and the per-family counts gate
+      // the broadcast semi-restriction below.
+      val famCounts = mhc.select(lit("mh").as("fam"))
+        .unionByName(shc.select(lit("sh").as("fam")))
+        .groupBy("fam").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
       val mh = Lsh.verifyJaccard(
         mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
       val sh = Lsh.verifyHamming(
@@ -158,7 +170,7 @@ object DedupMain {
     }
     if (!dupPairsResumed) {
       Metrics.append(spark, root, runId, "substr_shards", substrShards.toLong, 0L, resumed = false)
-      Metrics.append(spark, root, runId, "substr_maxgroup_dropped_pairs",
+      Metrics.append(spark, root, runId, "substr_starcap_dropped_pairs",
         substrDropped.value, 0L, resumed = false)
     }
     stage("clusters") {

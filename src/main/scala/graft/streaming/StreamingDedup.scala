@@ -22,8 +22,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   final case class BandKey(band: Int, key: Long, doc_id: Long)
-  /** Schema anchor for the bridge's durable key table (doc_id, key). */
-  final case class BandKeyRow(doc_id: Long, key: Long)
   final case class CandPair(a: Long, b: Long, band: Int, key: Long)
   /** Bounded bucket membership, plus how many docs the cap suppressed. */
   final case class BucketState(members: List[Long], suppressed: Long)
@@ -81,68 +79,79 @@ object StreamingDedup {
    * the streaming checkpoint. Hot-bucket capping for the stateful in-memory
    * route is `candidatePairsStream`; here buckets are bounded by the same
    * census+salt pass as batch (applied to the accumulated key table).
+   *
+   * Retry idempotence: foreachBatch delivers at-least-once — a micro-batch
+   * that failed mid-write is REPLAYED with the same batchId. Every state
+   * append therefore goes into that batch's own partition directory
+   * (`.../batch_id=<id>`) written with Overwrite: a replay overwrites its
+   * own (possibly partial) previous output instead of double-appending —
+   * the written content is a deterministic function of the batch input —
+   * so the shingle/key/pair state never accumulates duplicate rows and the
+   * bucket census / verify fan-out of later batches stays exact. Tested:
+   * re-delivering a processed batch leaves state row counts and the
+   * cluster snapshot unchanged.
    */
   def foreachBatchClusters(streamingDocs: DataFrame, cfg: DedupConfig, root: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
     streamingDocs.writeStream
       .option("checkpointLocation", s"$root/_stream_ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        def exists(p: String): Boolean = {
-          val path = new org.apache.hadoop.fs.Path(p)
-          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.exists(path) &&
-            fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.parquet")).nonEmpty
-        }
-        val sh = Lsh.shingled(batch.toDF(), cfg).localCheckpoint()
-        val newKeys = Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg)
-          .select("doc_id", "key").localCheckpoint()
-        val oldKeys =
-          if (exists(s"$root/keys")) spark.read.parquet(s"$root/keys").localCheckpoint()
-          else spark.emptyDataset[BandKeyRow](
-            org.apache.spark.sql.Encoders.product[BandKeyRow]).toDF()
-        sh.write.mode("append").parquet(s"$root/shingled")
-        newKeys.write.mode("append").parquet(s"$root/keys")
-        val allKeys = oldKeys.unionByName(newKeys)
-        // new × all bucket join (all includes new, so new-new pairs collide
-        // too); every emitted pair involves ≥1 new doc → no pair repeats
-        // across batches. Hot buckets (census over ALL members, same cap as
-        // batch) emit hub edges instead of the quadratic product: every new
-        // member to the bucket's global-min hub, plus hub-to-previous-hub
-        // when a new arrival takes over the minimum — connectivity matches
-        // the batch star lanes.
-        val cap = math.max(1, cfg.saltMaxBucket)
-        val hot = allKeys.groupBy("key").count().where(col("count") > cap).select("key")
-        val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
-        val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
-        val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
-          .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
-          .where(col("x") =!= col("y"))
-          .select(least(col("x"), col("y")).as("a"),
-                  greatest(col("x"), col("y")).as("b"))
-        val hubAll = allKeys.join(broadcast(hot), Seq("key"))
-          .groupBy("key").agg(min("doc_id").as("hub"))
-        val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
-          .groupBy("key").agg(min("doc_id").as("old_hub"))
-        val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
-          .join(hubAll, "key")
-          .where(col("doc_id") =!= col("hub"))
-          .select(col("hub").as("a"), col("doc_id").as("b"))
-        val hubChain = hubAll.join(hubOld, "key")
-          .where(col("hub") =!= col("old_hub"))
-          .select(col("hub").as("a"), col("old_hub").as("b"))
-        val cands = coldCands.unionByName(hotSpokes).unionByName(hubChain)
-          .select(least(col("a"), col("b")).as("a"),
-                  greatest(col("a"), col("b")).as("b"))
-          .distinct()
-        val allSh = spark.read.parquet(s"$root/shingled")
-        Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
-          .write.mode("append").parquet(s"$root/pairs")
-        if (exists(s"$root/pairs"))
-          ConnectedComponents.assign(spark.read.parquet(s"$root/pairs"))
-            .write.mode("overwrite").parquet(s"$root/clusters")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, cfg, root)
       }
       .start()
+
+  /** One micro-batch of the bridge (public so the replay-idempotence test
+    * can re-deliver a batch exactly as the streaming engine would). */
+  def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig, root: String): Unit = {
+    val spark = batch.sparkSession
+    val sh = Lsh.shingled(batch, cfg).localCheckpoint()
+    val newKeys = Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg)
+      .select("doc_id", "key").localCheckpoint()
+    // idempotent state append: this batch owns its partition directory
+    sh.write.mode("overwrite").parquet(s"$root/shingled/batch_id=$batchId")
+    newKeys.write.mode("overwrite").parquet(s"$root/keys/batch_id=$batchId")
+    // partition discovery exposes batch_id; prior batches = all but this one
+    // (NOT "all minus newKeys": on a replay the state already contains this
+    // batch's rows, and filtering by batch_id keeps the old/new split exact)
+    val keysState = spark.read.parquet(s"$root/keys")
+    val oldKeys = keysState.where(col("batch_id") =!= batchId).select("doc_id", "key")
+    val allKeys = keysState.select("doc_id", "key")
+    // new × all bucket join (all includes new, so new-new pairs collide
+    // too); every emitted pair involves ≥1 new doc → no pair repeats
+    // across batches. Hot buckets (census over ALL members, same cap as
+    // batch) emit hub edges instead of the quadratic product: every new
+    // member to the bucket's global-min hub, plus hub-to-previous-hub
+    // when a new arrival takes over the minimum — connectivity matches
+    // the batch star lanes.
+    val cap = math.max(1, cfg.saltMaxBucket)
+    val hot = allKeys.groupBy("key").count().where(col("count") > cap).select("key")
+    val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
+      .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+    val hubAll = allKeys.join(broadcast(hot), Seq("key"))
+      .groupBy("key").agg(min("doc_id").as("hub"))
+    val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
+      .groupBy("key").agg(min("doc_id").as("old_hub"))
+    val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
+      .join(hubAll, "key")
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
+    val hubChain = hubAll.join(hubOld, "key")
+      .where(col("hub") =!= col("old_hub"))
+      .select(col("hub").as("a"), col("old_hub").as("b"))
+    val cands = coldCands.unionByName(hotSpokes).unionByName(hubChain)
+      .select(least(col("a"), col("b")).as("a"),
+              greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val allSh = spark.read.parquet(s"$root/shingled").select("doc_id", "shingles")
+    Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
+      .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$batchId")
+    ConnectedComponents.assign(spark.read.parquet(s"$root/pairs").select("a", "b"))
+      .write.mode("overwrite").parquet(s"$root/clusters")
   }
 
   /** Windowed event-time throughput rollup with late-data watermark:

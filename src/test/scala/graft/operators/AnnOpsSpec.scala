@@ -41,6 +41,43 @@ class AnnOpsSpec extends SparkSuite {
     assert(recall > 0.05) // random gaussian corpus: buckets are weak, but nonzero
   }
 
+  test("lshTopK recall@5 >= 0.9 on a planted near-neighbor corpus at default params") {
+    // The REAL quality bar for the scale path: a corpus with structure (the
+    // regime LSH exists for — near-dup embeddings at cos≈0.94 over a ≈0
+    // background), where brute top-5 = cluster mates by construction.
+    val planted = graft.sources.EmbedGen.vectors(spark, 240, dim = 32, clusterSize = 8).toDF()
+      .localCheckpoint()
+    val brute = AnnOps.bruteTopK(planted, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // sanity: the planted geometry holds — true top-5 are cluster mates
+    brute.foreach { case (v, nb) =>
+      assert(graft.sources.EmbedGen.clusterOf(v) === graft.sources.EmbedGen.clusterOf(nb))
+    }
+    val approx = AnnOps.lshTopK(planted, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect brute).size.toDouble / brute.size
+    info(f"planted recall@5 = $recall%.3f at (tables=8, bits=8)")
+    assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9 at default (tables=8, bitsPerTable=8)")
+  }
+
+  test("lshTopK parameter sweep on the planted corpus (recorded in BENCH/BASELINE.md)") {
+    val planted = graft.sources.EmbedGen.vectors(spark, 240, dim = 32, clusterSize = 8).toDF()
+      .localCheckpoint()
+    val brute = AnnOps.bruteTopK(planted, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sweep = Seq((4, 8), (8, 8), (8, 4), (16, 4)).map { case (t, b) =>
+      val approx = AnnOps.lshTopK(planted, 5, tables = t, bitsPerTable = b)
+        .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r = (approx intersect brute).size.toDouble / brute.size
+      info(f"tables=$t%2d bits=$b%2d recall@5=$r%.3f candidates~${approx.size}")
+      (t, b, r)
+    }
+    // more tables at fixed bits must not hurt recall (monotone OR over tables)
+    val r4 = sweep.collectFirst { case (4, 8, r) => r }.get
+    val r8 = sweep.collectFirst { case (8, 8, r) => r }.get
+    assert(r8 >= r4 - 0.02)
+  }
+
   test("cosineDupPairs respects threshold and canonical a<b") {
     val rows = AnnOps.cosineDupPairs(emb, 0.3)
       .as[(Long, Long, Double)].collect()

@@ -111,6 +111,11 @@ object SparkEntry {
     "q17_ann_lsh_topk" -> ((s, dir) =>
       AnnOps.lshTopK(TestData.embeddings(s, dir), 5).orderBy("vec_id", "rank")),
 
+    // ANN — IVF (inverted-file) top-5: the geometry-adaptive scale path
+    // (rows-only: approximate; recall bar asserted in AnnOpsSpec).
+    "q32_ann_ivf_topk" -> ((s, dir) =>
+      AnnOps.ivfTopK(TestData.embeddings(s, dir), 5).orderBy("vec_id", "rank")),
+
     // embedding-cosine near-dup pairs: exact (bound-prefilter + verify).
     "q18_cosine_dups" -> ((s, dir) =>
       AnnOps.bruteCosinePairs(TestData.embeddings(s, dir), 0.4).orderBy("a", "b")),

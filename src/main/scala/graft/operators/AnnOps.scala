@@ -109,4 +109,98 @@ object AnnOps {
     withCosine(lshCandidatePairs(emb, tables, bitsPerTable, seed), emb)
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
+
+  // ---- IVF (inverted-file) route ---------------------------------------
+
+  /** Deterministic coarse quantizer: Lloyd's k-means on a hash-ordered
+    * sample, trained DRIVER-side (nlist × dim doubles — a few KB — while
+    * the data stays distributed; the sample is a TakeOrdered top-k by
+    * xxhash64(vec_id), so the same corpus + seed trains the same centroids
+    * at any parallelism). Centroids are L2-normalized so nearest-by-dot ==
+    * nearest-by-cosine. */
+  private[operators] def trainCentroids(emb: DataFrame, nlist: Int, seed: Long,
+                                        iters: Int = 8, sampleN: Int = 4096): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed))).limit(sampleN)
+      .as[(Long, Array[Float])].collect().map(_._2.map(_.toDouble))
+    require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }
+    var cents = sample.take(nlist).map(norm)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearestCell(cents, v)
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else norm(sums(c))
+      }.toArray
+    }
+    cents
+  }
+
+  private def nearestCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += cents(c)(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cells of the `nprobe` nearest centroids, descending by dot product. */
+  private def topCells(cents: Array[Array[Double]], v: Array[Double], nprobe: Int): Array[Int] = {
+    val dots = cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += cents(c)(i) * v(i); i += 1 }
+      (c, d)
+    }
+    dots.sortBy(-_._2).take(nprobe).map(_._1).toArray
+  }
+
+  /** IVF approximate top-k (the classical inverted-file ANN layout, the
+    * brief's alternative scale path to LSH): vectors are assigned to their
+    * nearest coarse centroid's cell; each query probes only its `nprobe`
+    * nearest cells. The cell join ships ids only (vectors are fetched per
+    * surviving candidate, exactly like the LSH route); candidate volume is
+    * ~n²·nprobe/nlist instead of n², and cells — unlike LSH buckets — adapt
+    * to the corpus geometry, so recall holds on clustered embeddings with
+    * far fewer candidates. Same output shape as bruteTopK/lshTopK. */
+  def ivfTopK(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 0x5EAC15DL): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(emb, nlist, seed)
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val assign = vecs.map { case (id, v) =>
+      (id, nearestCell(cents, v.map(_.toDouble)))
+    }.toDF("a", "cell")
+    val probes = vecs.flatMap { case (id, v) =>
+      topCells(cents, v.map(_.toDouble), nprobe).iterator.map(c => (id, c))
+    }.toDF("vec_id", "cell")
+    val cand = probes.join(assign, "cell")
+      .where(col("vec_id") =!= col("a"))
+      .select(col("vec_id"), col("a").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id"), col("embedding").as("ev")), "vec_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("en")), "neighbor_id")
+      .withColumn("cos", Fns.cosineSim(col("ev"), col("en")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cos")
+  }
 }

@@ -91,9 +91,142 @@ object Checkpoint {
     * byte-scaled substring shard count in, so a resume against a GROWN
     * corpus (different shard composition ⇒ different within-shard pair
     * sets at the same configHash) is detected and recomputed instead of
-    * silently reusing stale pairs. */
-  def stageKey(cfg: DedupConfig, extraKey: String): String =
+    * silently reusing stale pairs; global stages downstream of the
+    * day-incremental ones fold the docs row count in for the same reason
+    * (a day-append must invalidate them). */
+  def stageKey(cfg: DedupConfig, extraKey: String): String = {
+    require(!extraKey.exists(c => c == ',' || c == '}' || c == '"'),
+      s"extraKey must survive the flat-JSON manifest parser: $extraKey")
     if (extraKey.isEmpty) cfg.configHash else s"${cfg.configHash}:$extraKey"
+  }
+
+  /** Days already recorded done by `stage` at this configHash — driver-side
+    * (day cardinality is tiny: one per crawl day). Empty when no lineage
+    * exists yet. */
+  private def doneDaySet(spark: SparkSession, root: String, stage: String,
+                         cfg: DedupConfig): Set[java.sql.Timestamp] = {
+    val linPath = new Path(s"$root/_lineage")
+    if (!fs(spark, linPath).exists(linPath)) Set.empty
+    else Resume.doneDays(
+        Lineage.read(spark, root).where(col("stage") === stage), cfg.configHash)
+      .collect().map(_.getTimestamp(0)).toSet
+  }
+
+  /** Distinct non-null `warc_day` values of a day-carrying input — one
+    * column-pruned pass (prod Iceberg answers this from partition
+    * metadata without scanning data files). */
+  private def dayValues(input: DataFrame): Set[java.sql.Timestamp] =
+    input.select("warc_day").where(col("warc_day").isNotNull)
+      .distinct().collect().map(_.getTimestamp(0)).toSet
+
+  /**
+   * Day-incremental stage (K2 at crawl-day granularity — the unit prod
+   * Iceberg partitions on, BASELINE.json:15 `days(warc_ts)`): output is
+   * partitioned by `warc_day`, and a re-run at the SAME configHash builds
+   * only the input days this stage's lineage has not recorded, appending
+   * them while prior days' files stay untouched — a new crawl day costs one
+   * day's compute, not a corpus recompute. A configHash change still
+   * recomputes everything (the resume contract). `input` must carry a
+   * non-null `warc_day` column; `build` must preserve it.
+   */
+  def stageDays(spark: SparkSession, root: String, name: String, cfg: DedupConfig,
+                runId: String)(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val dir = s"$root/$name"
+    val sameCfg = readManifest(spark, root, name).exists(_.configHash == cfg.configHash)
+    if (!sameCfg) {
+      val t0 = System.nanoTime()
+      build(input).write.mode(SaveMode.Overwrite).partitionBy("warc_day").parquet(dir)
+      val out = spark.read.parquet(dir)
+      val rows = out.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      writeManifest(spark, root, Manifest(name, cfg.configHash, rows, wallMs))
+      Metrics.append(spark, root, runId, name, rows, wallMs, resumed = false)
+      Lineage.append(spark, root, runId, name, cfg.configHash, out)
+      out
+    } else {
+      val pending = (dayValues(input) -- doneDaySet(spark, root, name, cfg)).toSeq
+      if (pending.isEmpty) {
+        Metrics.append(spark, root, runId, name,
+          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L), 0L, resumed = true)
+        spark.read.parquet(dir)
+      } else {
+        val t0 = System.nanoTime()
+        // dynamic partition overwrite, NOT append: a run killed between the
+        // data write and the lineage append leaves the day's partition
+        // written but unrecorded — the restart recomputes it, and overwrite
+        // replaces the torn partition instead of double-appending rows
+        build(input.where(col("warc_day").isin(pending: _*)))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("warc_day").parquet(dir)
+        val out = spark.read.parquet(dir)
+        val appended = out.where(col("warc_day").isin(pending: _*))
+        val newRows = appended.count()
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        writeManifest(spark, root, Manifest(name, cfg.configHash,
+          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L) + newRows, wallMs))
+        Metrics.append(spark, root, runId, name, newRows, wallMs, resumed = false)
+        Lineage.append(spark, root, runId, name, cfg.configHash, appended)
+        out
+      }
+    }
+  }
+
+  /** Day-incremental variant of `stageBucketed`: the managed table is
+    * partitioned by `warc_day` ON TOP of the doc_id bucketing (the local
+    * mirror of Iceberg `bucket(n, doc_id) × days(warc_ts)`), so a new crawl
+    * day appends its partition into the table — later doc_id joins stay
+    * Exchange-free AND a day-append re-shingles only the new day.
+    *
+    * Torn-append safety: saveAsTable(Append) into a bucketed table cannot
+    * do dynamic partition overwrite, so a run killed between the data
+    * append and the lineage append leaves a day written but unrecorded.
+    * Such "torn" days (in the table, not in lineage) are detected at entry
+    * and trigger a full rebuild — a rare crash costs one recompute, never
+    * silent row duplication. Prod Iceberg replaces the append with an
+    * atomic REPLACE PARTITIONS commit, which removes the case entirely. */
+  def stageBucketedDays(spark: SparkSession, root: String, name: String, cfg: DedupConfig,
+                        runId: String, buckets: Int, byCol: String)
+                       (input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val tbl = bucketedTableName(root, name)
+    val sameCfg = readManifest(spark, root, name).exists(_.configHash == cfg.configHash) &&
+      spark.catalog.tableExists(tbl)
+    val torn = sameCfg &&
+      (dayValues(spark.table(tbl)) -- doneDaySet(spark, root, name, cfg)).nonEmpty
+    if (!sameCfg || torn) {
+      val t0 = System.nanoTime()
+      graft.sources.TableIO.writeBucketed(build(input), tbl, buckets, byCol,
+        Some(byCol), Seq("warc_day"))
+      val out = spark.table(tbl)
+      val rows = out.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      writeManifest(spark, root, Manifest(name, cfg.configHash, rows, wallMs))
+      Metrics.append(spark, root, runId, name, rows, wallMs, resumed = false)
+      Lineage.append(spark, root, runId, name, cfg.configHash, out)
+      out
+    } else {
+      val pending = (dayValues(input) -- doneDaySet(spark, root, name, cfg)).toSeq
+      if (pending.isEmpty) {
+        Metrics.append(spark, root, runId, name,
+          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L), 0L, resumed = true)
+        spark.table(tbl)
+      } else {
+        val t0 = System.nanoTime()
+        graft.sources.TableIO.writeBucketed(
+          build(input.where(col("warc_day").isin(pending: _*))), tbl, buckets, byCol,
+          Some(byCol), Seq("warc_day"), SaveMode.Append)
+        val out = spark.table(tbl)
+        val appended = out.where(col("warc_day").isin(pending: _*))
+        val newRows = appended.count()
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        writeManifest(spark, root, Manifest(name, cfg.configHash,
+          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L) + newRows, wallMs))
+        Metrics.append(spark, root, runId, name, newRows, wallMs, resumed = false)
+        Lineage.append(spark, root, runId, name, cfg.configHash, appended)
+        out
+      }
+    }
+  }
 
   /**
    * Run (or resume) one stage: if `<root>/<stage>` carries a manifest with

@@ -90,21 +90,50 @@ object DedupMain {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(s"$root/_ckpt")
 
-    val docs = stage("docs") {
-      toDocs(graft.sources.TableIO.read(spark, inputRef))
-    }
+    val raw = graft.sources.TableIO.read(spark, inputRef)
+    // crawl-day granularity (BASELINE.json:15 `days(warc_ts)` partitioning):
+    // inputs that carry warc_ts go through the day-incremental stages — a
+    // day-append run recomputes docs/shingles/signatures for the NEW days
+    // only and appends their partitions; day-less document tables keep the
+    // whole-stage gate
+    val dayGranular = raw.columns.contains("warc_ts")
+    val docs =
+      if (dayGranular)
+        Checkpoint.stageDays(spark, root, "docs", cfg, runId)(toDocs(raw))(identity)
+      else stage("docs") { toDocs(raw) }
     // shingles + signatures are the tables every verify join (and every
     // incremental re-run) re-joins on doc_id — bucketing them by doc_id
     // makes those joins Exchange-free on this (heavy) side
     val buckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     def stageBucketed(name: String)(build: => DataFrame): DataFrame =
       Checkpoint.stageBucketed(spark, root, name, cfg, runId, buckets, "doc_id")(build)
-    val shingled = stageBucketed("shingled") { Lsh.shingled(docs, cfg) }
-    val signatures = stageBucketed("signatures") {
-      Lsh.signatures(shingled, cfg)
-        .join(Lsh.simhashes(docs, cfg), "doc_id")
-    }
-    val bandKeys = stage("band_keys") {
+    def stageBucketedDays(name: String)(build: DataFrame => DataFrame): DataFrame =
+      Checkpoint.stageBucketedDays(spark, root, name, cfg, runId, buckets, "doc_id")(docs)(build)
+    val shingled =
+      if (dayGranular) stageBucketedDays("shingled") { d =>
+        d.select(col("doc_id"), Fns.shingleHashes(col("text"), cfg).as("shingles"),
+                 col("warc_day"))
+      }
+      else stageBucketed("shingled") { Lsh.shingled(docs, cfg) }
+    val signatures =
+      if (dayGranular) stageBucketedDays("signatures") { d =>
+        // one pass over the pending days' docs computes both fingerprints
+        // (same expression composition as the batch/streaming paths)
+        d.select(col("doc_id"),
+                 Fns.minhashSig(Fns.shingleHashes(col("text"), cfg), cfg).as("minhash"),
+                 Fns.simhash64(col("text"), cfg).as("simhash"),
+                 col("warc_day"))
+      }
+      else stageBucketed("signatures") {
+        Lsh.signatures(shingled, cfg)
+          .join(Lsh.simhashes(docs, cfg), "doc_id")
+      }
+    // the global stages below consume ALL days — a day-append changes their
+    // input, which the configHash alone cannot see: fold the docs row count
+    // into their resume keys so stale reuse is impossible
+    val inputKey =
+      s"docs_rows=${Checkpoint.readManifest(spark, root, "docs").map(_.rowCount).getOrElse(-1L)}"
+    val bandKeys = Checkpoint.stage(spark, root, "band_keys", cfg, runId, inputKey) {
       // the band index is folded into `key` (Lsh.minhashBandKeys /
       // simhashBandKeys), so the bucket identity downstream is (key, salt)
       val mh = Lsh.saltBandKeys(
@@ -126,7 +155,9 @@ object DedupMain {
     // materialized docs stage.
     val totalTextBytes = ExactSubstr.totalTextBytes(docs)
     val substrShards = ExactSubstr.shardsFor(totalTextBytes, cfg)
-    val substrKey = s"substr_shards=$substrShards"
+    // ';' separator — the manifest's flat JSON parser treats ',' as a
+    // field delimiter, so a comma inside the key would corrupt the readback
+    val substrKey = s"$inputKey;substr_shards=$substrShards"
     val dupPairsResumed = Checkpoint.readManifest(spark, root, "dup_pairs")
       .exists(_.configHash == Checkpoint.stageKey(cfg, substrKey))
     // loud-cap accounting: hot-lane starring drops an ESTIMATED number of
@@ -173,7 +204,7 @@ object DedupMain {
       Metrics.append(spark, root, runId, "substr_starcap_dropped_pairs",
         substrDropped.value, 0L, resumed = false)
     }
-    stage("clusters") {
+    Checkpoint.stage(spark, root, "clusters", cfg, runId, inputKey) {
       ConnectedComponents.clusters(
         ConnectedComponents.assign(dupPairs.select("a", "b")))
     }

@@ -34,11 +34,17 @@ object TableIO {
   /** Bucketed managed table (prod: Iceberg `bucket(n, col)`; locally the
     * session catalog's parquet bucketing). Two tables bucketed the same way
     * join WITHOUT a shuffle — the co-located-join layout for the 100 TB
-    * signature/shingle tables that are re-joined every incremental run. */
+    * signature/shingle tables that are re-joined every incremental run.
+    * `partitionCols` layers day partitioning on top (prod: `bucket(n, col)
+    * × days(warc_ts)` — the BASELINE.json:15 spec); Append mode adds new
+    * partitions to an existing table with the identical spec (the
+    * day-incremental stage path). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, byCol: String,
-                    sortCol: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-      .format("parquet")
+                    sortCol: Option[String] = None,
+                    partitionCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w0 = df.write.mode(mode).format("parquet")
+    val w = (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
       .bucketBy(buckets, byCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }

@@ -78,6 +78,22 @@ class AnnOpsSpec extends SparkSuite {
     assert(r8 >= r4 - 0.02)
   }
 
+  test("ivfTopK recall@5 >= 0.9 on the planted corpus; deterministic across parallelism") {
+    val planted = graft.sources.EmbedGen.vectors(spark, 240, dim = 32, clusterSize = 8).toDF()
+      .localCheckpoint()
+    val brute = AnnOps.bruteTopK(planted, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = AnnOps.ivfTopK(planted, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(f"ivf recall@5 = $recall%.3f at (nlist=16, nprobe=4)")
+    assert(recall >= 0.9, f"ivf recall@5 = $recall%.3f < 0.9")
+    // centroid training is a pure function of (corpus, seed), not parallelism
+    val again = AnnOps.ivfTopK(planted.repartition(7), 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
+
   test("cosineDupPairs respects threshold and canonical a<b") {
     val rows = AnnOps.cosineDupPairs(emb, 0.3)
       .as[(Long, Long, Double)].collect()

@@ -47,6 +47,56 @@ class DayResumeSpec extends SparkSuite {
     assert(other.count() === 0)
   }
 
+  test("day-append: a new crawl day recomputes only that day through docs/shingled/signatures") {
+    // 4 synthetic crawl days; run the full pipeline on days 1-3, then again
+    // on all 4 days at the same root: the day-incremental stages must build
+    // ONLY day 4 (lineage shows exactly one new day per stage), the global
+    // stages must recompute (docs_rows key changed), and the result must
+    // equal a from-scratch run on the full input.
+    val pages = PagesGen.pages(spark, 160, cfg).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(4)) * 86400L))
+    val days = pages.select(date_trunc("day", col("warc_ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    assert(days.length === 4)
+    val in3 = tmpRoot() + "/in3.parquet"
+    val in4 = tmpRoot() + "/in4.parquet"
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(3))).write.parquet(in3)
+    pages.write.parquet(in4)
+
+    val root = tmpRoot()
+    DedupMain.run(spark, in3, root, cfg, "run1").count()
+    val appended = DedupMain.run(spark, in4, root, cfg, "run2")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+
+    // per-stage lineage: run2 added exactly day 4 to each incremental stage
+    val lin = Lineage.read(spark, root).where(col("config_hash") === cfg.configHash)
+    Seq("docs", "shingled", "signatures").foreach { st =>
+      val run2Days = lin.where(col("stage") === st && col("run_id") === "run2")
+        .select("warc_day").distinct().as[java.sql.Timestamp].collect().toSet
+      assert(run2Days === Set(days(3)), s"stage $st must recompute only day 4, got $run2Days")
+      val allDays = lin.where(col("stage") === st)
+        .select("warc_day").distinct().as[java.sql.Timestamp].collect().toSet
+      assert(allDays === days.toSet, s"stage $st lineage must cover all days")
+    }
+    // stage tables hold each day exactly once (no double-append)
+    assert(spark.read.parquet(s"$root/docs").count() === 160)
+    assert(spark.table(Checkpoint.bucketedTableName(root, "shingled")).count() === 160)
+
+    // parity: incremental result == from-scratch run on the full input
+    val freshRoot = tmpRoot()
+    val fresh = DedupMain.run(spark, in4, freshRoot, cfg, "fresh")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(appended === fresh, "day-append must equal the from-scratch clusters")
+
+    // third run with no new days: every stage resumes
+    DedupMain.run(spark, in4, root, cfg, "run3").count()
+    assert(Metrics.read(spark, root)
+      .where(col("run_id") === "run3" && !col("resumed")).count() === 0,
+      "no-change rerun must resume every stage")
+  }
+
   test("day-less stages write null warc_day and never mark days done") {
     val root = tmpRoot()
     Checkpoint.stage(spark, root, "shingled", cfg, "run1") {

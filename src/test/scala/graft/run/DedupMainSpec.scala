@@ -18,13 +18,14 @@ class DedupMainSpec extends SparkSuite {
     val args = Seq(
       "k=4", "numPerm=64", "bands=8", "rows=8", "jaccard=0.7", "hamming=2",
       "gramLen=80", "winnowW=40", "saltMaxBucket=500", "substrMinFrac=0.3",
-      "substrShards=32", "simhashBlocks=5", "shingleUnit=char", "seed=42")
+      "substrShards=32", "pairListMaxClique=100", "simhashBlocks=5",
+      "shingleUnit=char", "seed=42")
     val parsed = DedupMain.parseConfig(args)
     val expected = DedupConfig.test.copy(
       k = 4, numPerm = 64, bands = 8, rows = 8, jaccardThreshold = 0.7,
       hammingThreshold = 2, gramLen = 80, winnowW = 40, saltMaxBucket = 500,
-      substrMinFrac = 0.3, substrShards = 32, simhashBlocks = 5,
-      shingleUnit = "char", seed = 42L)
+      substrMinFrac = 0.3, substrShards = 32, pairListMaxClique = 100,
+      simhashBlocks = 5, shingleUnit = "char", seed = 42L)
     assert(parsed === expected)
     assert(parsed.configHash === expected.configHash)
     // every arg must matter: dropping any one changes the parsed config

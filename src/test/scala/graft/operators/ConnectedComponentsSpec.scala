@@ -22,11 +22,18 @@ class ConnectedComponentsSpec extends SparkSuite {
     nodes.map(x => x -> find(x)).toMap
   }
 
+  /** Both production paths — the single-task union-find fast path (default
+    * gate) and the distributed large/small-star iteration (gate forced off)
+    * — must match the sequential oracle, and therefore each other. */
   private def check(edges: Seq[(Long, Long)]): Unit = {
-    val got = ConnectedComponents.assign(edges.toDF("a", "b"))
-      .as[(Long, Long)].collect().toMap
     val expect = unionFind(0, edges)
-    assert(got === expect)
+    val fast = ConnectedComponents.assign(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast === expect, "fast path diverged from oracle")
+    val iterative = ConnectedComponents
+      .assign(edges.toDF("a", "b"), smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(iterative === expect, "iterative path diverged from oracle")
   }
 
   test("single edge") { check(Seq((2L, 1L))) }
@@ -50,15 +57,30 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("fast path == iterative path on a dense random graph, at any partitioning") {
+    val rnd = new java.util.SplittableRandom(7L)
+    val edges = (1 to 5000).map(_ => (rnd.nextLong(0, 800), rnd.nextLong(0, 800)))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b")
+    val fast = ConnectedComponents.assign(df.repartition(13))
+      .as[(Long, Long)].collect().toMap
+    val iterative = ConnectedComponents.assign(df, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === iterative)
+    assert(fast === unionFind(0, edges))
+  }
+
   test("reliable checkpoint: long path writes durable snapshots, same answer") {
     val sc = spark.sparkContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val before = sc.getCheckpointDir
     sc.setCheckpointDir(ckpt)
     try {
-      // a 2000-node path needs well over ReliableCheckpointEvery rounds
+      // a 2000-node path needs well over ReliableCheckpointEvery rounds;
+      // force the iterative path (the fast-path gate would absorb it)
       val edges = (1L to 2000L).sliding(2).map(s => (s(0), s(1))).toSeq
-      val got = ConnectedComponents.assign(edges.toDF("a", "b"))
+      val got = ConnectedComponents
+        .assign(edges.toDF("a", "b"), smallGraphMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got === unionFind(0, edges))
       // durable RDD checkpoint files must exist under the configured dir —

@@ -22,7 +22,12 @@ object Dedup {
     * shingles and simhash — into a single cached table that feeds banding
     * AND both verify joins. Splitting the families into independent
     * `minhashDupPairs`/`simhashDupPairs` calls (the pre-r3 shape) scanned
-    * the cached docs and ran the text-processing pass once per family. */
+    * the cached docs and ran the text-processing pass once per family.
+    *
+    * This method is EAGER (one union action materializes both candidate
+    * sets): the counts gate the candidate-doc semi-restriction of the
+    * verify joins — the 100-TB discipline DedupMain's staged path runs —
+    * so the heavy shingle arrays shuffle only for candidate docs. */
   def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
     val d = docs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val fp = d.select(col("doc_id"),
@@ -31,13 +36,27 @@ object Dedup {
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val shingled = fp.select("doc_id", "shingles")
     val simhashes = fp.select("doc_id", "simhash")
+    val mhc = Lsh.candidatePairs(Lsh.saltBandKeys(
+        Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val shc = Lsh.candidatePairs(Lsh.saltBandKeys(Lsh.simhashBandKeys(simhashes, cfg), cfg))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // ONE union action materializes both candidate checkpoints (the two
+    // families' stages overlap across the executor pool — two serial
+    // counts measurably serialized them at 240k), and the counts gate the
+    // broadcast semi-restriction of the verify joins: in the normal web
+    // regime (candidates ≪ corpus) the heavy shingle arrays shuffle only
+    // for candidate docs instead of the whole corpus — same discipline as
+    // DedupMain's staged path, output-preserving by construction.
+    val famCounts = mhc.select(lit("mh").as("fam"))
+      .unionByName(shc.select(lit("sh").as("fam")))
+      .groupBy("fam").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
     val mh = Lsh.verifyJaccard(
-      Lsh.candidatePairs(Lsh.saltBandKeys(
-        Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg)),
-      shingled, cfg)
+      mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
     val sh = Lsh.verifyHamming(
-      Lsh.candidatePairs(Lsh.saltBandKeys(Lsh.simhashBandKeys(simhashes, cfg), cfg)),
-      simhashes, cfg)
+      shc, Lsh.restrictToCandidateDocs(simhashes, shc, 2 * nSh), cfg)
     Lsh.dupPairs(mh, sh, ExactSubstr.substrDupPairs(d, cfg))
   }
 

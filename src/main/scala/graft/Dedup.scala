@@ -41,15 +41,21 @@ object Dedup {
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val shc = Lsh.candidatePairs(Lsh.saltBandKeys(Lsh.simhashBandKeys(simhashes, cfg), cfg))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    // ONE union action materializes both candidate checkpoints (the two
-    // families' stages overlap across the executor pool — two serial
-    // counts measurably serialized them at 240k), and the counts gate the
-    // broadcast semi-restriction of the verify joins: in the normal web
-    // regime (candidates ≪ corpus) the heavy shingle arrays shuffle only
-    // for candidate docs instead of the whole corpus — same discipline as
-    // DedupMain's staged path, output-preserving by construction.
+    val sub = ExactSubstr.substrDupPairs(d, cfg)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // ONE union action materializes both candidate checkpoints AND the
+    // (independent) substring family (three families' stages overlap
+    // across the executor pool — serial counts measurably serialized them;
+    // the substring suffix-array scan in particular has no dependency on
+    // the banding chains and would otherwise idle behind this barrier),
+    // and the counts gate the broadcast semi-restriction of the verify
+    // joins: in the normal web regime (candidates ≪ corpus) the heavy
+    // shingle arrays shuffle only for candidate docs instead of the whole
+    // corpus — same discipline as DedupMain's staged path,
+    // output-preserving by construction.
     val famCounts = mhc.select(lit("mh").as("fam"))
       .unionByName(shc.select(lit("sh").as("fam")))
+      .unionByName(sub.select(lit("sub").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
@@ -57,7 +63,7 @@ object Dedup {
       mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
     val sh = Lsh.verifyHamming(
       shc, Lsh.restrictToCandidateDocs(simhashes, shc, 2 * nSh), cfg)
-    Lsh.dupPairs(mh, sh, ExactSubstr.substrDupPairs(d, cfg))
+    Lsh.dupPairs(mh, sh, sub)
   }
 
   /** Cluster table (doc_id, cluster_id, cluster_size, is_canonical) for

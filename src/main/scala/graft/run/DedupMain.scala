@@ -181,13 +181,18 @@ object DedupMain {
           .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val mhc = cands("minhash")
       val shc = cands("simhash")
-      // ONE action materializes BOTH lazy candidate checkpoints: the union
-      // job runs the two families' stages over the shared executor pool
-      // concurrently (two separate count() actions serialized them —
-      // observed stage-gap at 960k docs), and the per-family counts gate
-      // the broadcast semi-restriction below.
+      val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // ONE action materializes both lazy candidate checkpoints AND the
+      // independent substring family: the union job runs all three
+      // families' stages over the shared executor pool concurrently
+      // (separate count() actions serialized them — observed stage-gap at
+      // 960k docs; the suffix-array scan has no dependency on the banding
+      // chains), and the per-family counts gate the broadcast
+      // semi-restriction below.
       val famCounts = mhc.select(lit("mh").as("fam"))
         .unionByName(shc.select(lit("sh").as("fam")))
+        .unionByName(sub.select(lit("sub").as("fam")))
         .groupBy("fam").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
@@ -196,7 +201,6 @@ object DedupMain {
       val sh = Lsh.verifyHamming(
         shc, Lsh.restrictToCandidateDocs(
           signatures.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
-      val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
       Lsh.dupPairs(mh, sh, sub)
     }
     if (!dupPairsResumed) {

@@ -105,6 +105,18 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("facade verify joins are candidate-restricted via a broadcast semi-join") {
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val plan = physicalPlan(Dedup.dupPairs(docs, cfg))
+    // the count-gated restrictToCandidateDocs must survive into the plan:
+    // the per-doc tables reach the verify joins through a LeftSemi against
+    // the broadcast candidate-id list, so shingle arrays only shuffle for
+    // candidate docs (the facade's 100-TB shuffle discipline)
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"expected broadcast left-semi candidate restriction:\n$plan")
+  }
+
   test("signature projection stays inside whole-stage codegen, evaluated once") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
     val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)

@@ -150,8 +150,45 @@ object StreamingDedup {
     val allSh = spark.read.parquet(s"$root/shingled").select("doc_id", "shingles")
     Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
       .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$batchId")
-    ConnectedComponents.assign(spark.read.parquet(s"$root/pairs").select("a", "b"))
-      .write.mode("overwrite").parquet(s"$root/clusters")
+    // Incremental CC over the CONTRACTED history: the previous committed
+    // snapshot's (doc_id, cluster_id) rows are a spanning star of every
+    // prior component (cluster_id is itself a member doc_id — the min), so
+    // CC over those edges ∪ THIS batch's verified pairs equals CC over all
+    // pairs ever seen, at per-batch cost O(clusters + new pairs) instead
+    // of O(total pair history) — the bound that keeps a long-running
+    // stream's micro-batch wall flat. Each snapshot lands in its own
+    // batch_id dir (same replay-overwrite idempotence as the state
+    // tables): a replayed batch recomputes from the SAME prior snapshot
+    // (strictly smaller batch_id) and overwrites only its own output.
+    val prevEdges = committedSnapshots(spark, s"$root/clusters")
+      .filter(_ < batchId).sorted.lastOption
+      .map(id => spark.read.parquet(s"$root/clusters/batch_id=$id")
+        .select(col("doc_id").as("a"), col("cluster_id").as("b")))
+    val newPairs = spark.read.parquet(s"$root/pairs/batch_id=$batchId").select("a", "b")
+    ConnectedComponents.assign(
+        prevEdges.fold(newPairs)(_.unionByName(newPairs)))
+      .write.mode("overwrite").parquet(s"$root/clusters/batch_id=$batchId")
+  }
+
+  /** batch_ids with a fully-committed (_SUCCESS) snapshot under `dir`. */
+  private def committedSnapshots(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
+  /** The bridge's current cluster assignment: the snapshot of the highest
+    * committed batch (what a consumer of the streaming dedup reads). */
+  def latestClusters(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val ids = committedSnapshots(spark, s"$root/clusters")
+    require(ids.nonEmpty, s"no committed cluster snapshot under $root/clusters")
+    spark.read.parquet(s"$root/clusters/batch_id=${ids.max}")
   }
 
   /** Windowed event-time throughput rollup with late-data watermark:

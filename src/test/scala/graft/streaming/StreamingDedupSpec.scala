@@ -50,7 +50,7 @@ class StreamingDedupSpec extends SparkSuite {
         stream.addData(b.map(d => (d.doc_id, d.text, d.lang)).toSeq)
         q.processAllAvailable()
       }
-      val streamed = spark.read.parquet(s"$root/clusters")
+      val streamed = StreamingDedup.latestClusters(spark, root)
         .as[(Long, Long)].collect().toSet
       val batch = graft.operators.ConnectedComponents.assign(
         Lsh.minhashDupPairs(PagesGen.docs(spark, n, cfg).toDF(), cfg))
@@ -75,7 +75,7 @@ class StreamingDedupSpec extends SparkSuite {
       spark.read.parquet(s"$root/shingled").count(),
       spark.read.parquet(s"$root/keys").count(),
       spark.read.parquet(s"$root/pairs").count(),
-      spark.read.parquet(s"$root/clusters").as[(Long, Long)].collect().toSet)
+      StreamingDedup.latestClusters(spark, root).as[(Long, Long)].collect().toSet)
     val once = state()
     StreamingDedup.processBatch(b1, 1L, cfg, root) // the replay
     assert(state() === once)

@@ -14,22 +14,20 @@ import org.apache.spark.storage.StorageLevel
  */
 object Dedup {
 
-  /** Family-tagged verified duplicate pairs (a, b, family).
-    *
-    * Reuse discipline (mirrors DedupMain's staged pipeline, in block-cache
-    * form): the docs table (scan + possible E1 extraction) is materialized
-    * once; then ONE projection over it computes BOTH per-doc fingerprints —
-    * shingles and simhash — into a single cached table that feeds banding
-    * AND both verify joins. Splitting the families into independent
-    * `minhashDupPairs`/`simhashDupPairs` calls (the pre-r3 shape) scanned
-    * the cached docs and ran the text-processing pass once per family.
-    *
-    * This method is EAGER (one union action materializes both candidate
-    * sets): the counts gate the candidate-doc semi-restriction of the
-    * verify joins — the 100-TB discipline DedupMain's staged path runs —
-    * so the heavy shingle arrays shuffle only for candidate docs. */
-  def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
+  /** The lazy verified-pair plan plus the intermediate localCheckpoints
+    * backing it (for block lifecycle). EAGER up to the candidate counts
+    * (one union action materializes all three families — their stages
+    * overlap across the executor pool; the counts gate the broadcast
+    * semi-restriction of the verify joins); the final verify+union plan is
+    * returned lazy so callers (and PlanSpec) can see/extend it. */
+  private[graft] def dupPairsPlan(docs: DataFrame, cfg: DedupConfig)
+      : (DataFrame, Seq[DataFrame]) = {
     val d = docs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // ONE projection over the cached docs computes BOTH per-doc
+    // fingerprints — shingles and simhash — into a single cached table
+    // that feeds banding AND both verify joins. Splitting the families
+    // into independent `minhashDupPairs`/`simhashDupPairs` calls (the
+    // pre-r3 shape) ran the text-processing pass once per family.
     val fp = d.select(col("doc_id"),
         Fns.shingleHashes(col("text"), cfg).as("shingles"),
         Fns.simhash64(col("text"), cfg).as("simhash"))
@@ -39,20 +37,21 @@ object Dedup {
     val mhc = Lsh.candidatePairs(Lsh.saltBandKeys(
         Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    val shc = Lsh.candidatePairs(Lsh.saltBandKeys(Lsh.simhashBandKeys(simhashes, cfg), cfg))
+    // SimHash pair listing runs the star+chain cap (see Lsh.simhashDupPairs)
+    val shc = Lsh.candidatePairsStarred(
+        Lsh.saltBandKeys(
+          Lsh.simhashBandKeys(simhashes, cfg, carryHash = true), cfg),
+        ExactSubstr.pairStarCap(cfg), "simhash")
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val sub = ExactSubstr.substrDupPairs(d, cfg)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // ONE union action materializes both candidate checkpoints AND the
-    // (independent) substring family (three families' stages overlap
-    // across the executor pool — serial counts measurably serialized them;
-    // the substring suffix-array scan in particular has no dependency on
-    // the banding chains and would otherwise idle behind this barrier),
-    // and the counts gate the broadcast semi-restriction of the verify
-    // joins: in the normal web regime (candidates ≪ corpus) the heavy
-    // shingle arrays shuffle only for candidate docs instead of the whole
-    // corpus — same discipline as DedupMain's staged path,
-    // output-preserving by construction.
+    // (independent) substring family (serial counts measurably serialized
+    // them; the suffix-array scan has no dependency on the banding chains
+    // and would otherwise idle behind this barrier). The counts gate the
+    // broadcast semi-restriction: in the normal web regime (candidates ≪
+    // corpus) the heavy shingle arrays shuffle only for candidate docs —
+    // same discipline as DedupMain's staged path, output-preserving.
     val famCounts = mhc.select(lit("mh").as("fam"))
       .unionByName(shc.select(lit("sh").as("fam")))
       .unionByName(sub.select(lit("sub").as("fam")))
@@ -63,7 +62,25 @@ object Dedup {
       mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
     val sh = Lsh.verifyHamming(
       shc, Lsh.restrictToCandidateDocs(simhashes, shc, 2 * nSh), cfg)
-    Lsh.dupPairs(mh, sh, sub)
+    (Lsh.dupPairs(mh, sh, sub), Seq(d, fp, mhc, shc, sub))
+  }
+
+  /** Family-tagged verified duplicate pairs (a, b, family).
+    *
+    * EAGER: materializes the (small) pair table, then releases the five
+    * intermediate block sets — repeated facade calls in one session (bench
+    * loops, notebooks) otherwise pile up executor storage until eviction,
+    * the block-pressure class the CC round lifecycle already fixed. The
+    * returned checkpoint depends on nothing unpersisted here. */
+  def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
+    val (pairs, intermediates) = dupPairsPlan(docs, cfg)
+    val out = pairs.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    intermediates.foreach { df =>
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+    out
   }
 
   /** Cluster table (doc_id, cluster_id, cluster_size, is_canonical) for

@@ -88,6 +88,31 @@ object ConnectedComponents {
     * rationale). Beyond it the O(log n)-round distributed iteration runs. */
   val SmallGraphMaxEdges: Long = 4L * 1000 * 1000
 
+  /** `assignLocal` working set per edge: two edge arrays (16 B) + the
+    * sorted node-id array (≤16 B) + parent/size forest (≤8 B) + dataset
+    * row and sort slack, rounded up. */
+  private[operators] val BytesPerEdge = 64L
+
+  /** Memory-derived ceiling on the fast-path gate: the 4M default assumes
+    * a ≥2 GB executor heap; a small-executor prod deploy (512m is common
+    * for shuffle-light services) would OOM the single task. The budget is
+    * 1/8 of one executor's heap (actual runtime heap in local mode, where
+    * executors share the driver JVM), overridable for tests and tuning via
+    * runtime conf `graft.cc.smallGraphBudgetBytes`. Pure given (budget):
+    * gate-boundary behavior is spec-asserted at a tiny configured budget. */
+  private[operators] def memoryDerivedMaxEdges(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val budget = spark.conf.getOption("graft.cc.smallGraphBudgetBytes")
+      .map(_.toLong)
+      .getOrElse {
+        val heap =
+          if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
+          else spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+        heap / 8
+      }
+    budget / BytesPerEdge
+  }
+
   def assign(pairs: DataFrame, maxRoundsHint: Option[Int] = None,
              smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -113,8 +138,9 @@ object ConnectedComponents {
     // the edge set — and the output is identical by construction (min
     // doc_id per component, order-independent); parity is spec-asserted
     // against the iterative path and the union-find oracle.
-    if (prevN > 0 && prevN <= smallGraphMaxEdges) {
-      log.info(s"cc: $prevN edges <= $smallGraphMaxEdges — single-task union-find path")
+    val gate = math.min(smallGraphMaxEdges, memoryDerivedMaxEdges(pairs.sparkSession))
+    if (prevN > 0 && prevN <= gate) {
+      log.info(s"cc: $prevN edges <= $gate — single-task union-find path")
       // the checkpointed edge blocks stay alive: the returned (lazy) plan
       // reads them — same lifetime contract as the iterative path's
       // converged final round
@@ -236,12 +262,27 @@ object ConnectedComponents {
   }
 
   /** G5 — cluster table with size and canonical-representative flag
-    * (canonical = smallest doc_id of the cluster). */
+    * (canonical = smallest doc_id of the cluster).
+    *
+    * Deliberately NOT a `Window partition by cluster_id`: a web-scale
+    * boilerplate component (10^7–10^9 members after evidence accumulation)
+    * would land its whole partition on ONE task, and AQE does not split
+    * window skew. Instead:
+    *  - `is_canonical` is exactly `doc_id === cluster_id` — the `assign`
+    *    contract makes cluster_id the component's minimum member doc_id,
+    *    so the canonical row is the one whose doc_id IS the cluster_id
+    *    (a codegen'd comparison, no shuffle at all);
+    *  - `cluster_size` is a partial-aggregating groupBy joined back on
+    *    cluster_id. No broadcast hint: the size table is one row per
+    *    cluster (can itself be huge), so AQE picks broadcast when it is
+    *    small and otherwise runs a shuffle join whose skewed side (the
+    *    mega-cluster's assignment rows) AQE's skew-join splitting CAN
+    *    handle — unlike the window. */
   def clusters(assignment: DataFrame): DataFrame = {
-    val w = Window.partitionBy("cluster_id")
-    assignment
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical",
-        row_number().over(w.orderBy("doc_id")) === 1)
+    val sizes = assignment.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assignment.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 }

@@ -26,13 +26,15 @@ import org.apache.spark.util.LongAccumulator
  *
  * Pair-enumeration discipline (both routes): duplicate CLIQUES — boilerplate
  * shared by many docs — are quadratic if enumerated. Groups with more than
- * `pairStarCap` distinct docs emit linear stars (+ SA-adjacent chain edges in
- * X4) instead of all pairs; suppressed pairs are COUNTED into the caller's
- * accumulator (loud cap, never silent). Cluster output is preserved: every
- * member stays transitively connected through the hub/chain whenever its
- * star or chain edge passes the length filters, and those edges carry the
- * exact pairwise run lengths (range-min over the SA interval), so they pass
- * exactly when the suppressed pairs adjacent to them would have.
+ * `pairStarCap` distinct docs emit linear stars (+ two-sided SA-adjacent
+ * chain fallbacks in X4) instead of all pairs; suppressed pairs are COUNTED
+ * into the caller's accumulator (loud cap, never silent). Cluster output is
+ * preserved whenever a member's star edge or either adjacent chain edge
+ * passes the length filters (the edges carry exact pairwise run lengths —
+ * range-min over the SA interval — so they pass exactly when the adjacent
+ * suppressed pairs would have); a member all three of whose edges fail can
+ * split off non-adjacent short partners — that residue is inside the
+ * counted drop, never silent.
  */
 object ExactSubstr {
 
@@ -135,24 +137,32 @@ object ExactSubstr {
     * computed once and shared with the salting broadcast). */
   def candidates(grams: Dataset[Gram], cfg: DedupConfig,
                  dropped: Option[LongAccumulator] = None): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
     val g = grams.toDF("gram", "doc_id", "off")
     val cap = math.max(1, pairStarCap(cfg))
-    // the hot census is consumed by the salting broadcast AND (optionally)
-    // the drop-estimate aggregation — materialize the tiny result once
-    val hotGrams = g.groupBy("gram").count()
+    // Per hot gram of n entries in s lanes the star emits ~(n − s) of its
+    // C(n,2) candidate entry-pairs; the remainder is the (estimated)
+    // suppressed count — same accounting as Lsh.saltedDropEstimate. The
+    // census rides the checkpoint lineage as a task-side accumulator update
+    // (one row per hot gram), so it fills when the CALLER'S action
+    // materializes the checkpoint — no eager driver-side census job
+    // serialized ahead of the families' shared union action. localCheckpoint
+    // materializes exactly once, so re-reads don't double-count (a rare
+    // task retry can — it is an estimate, recorded as such).
+    val censusRows = g.groupBy("gram").count()
       .where(col("count") > cap)
       .select(col("gram"), col("count"),
               ceil(col("count") / cap).cast("int").as("nsalt"))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    dropped.foreach { acc =>
-      // per hot gram of n entries in s lanes the star emits ~(n − s) of its
-      // C(n,2) candidate entry-pairs; the remainder is the (estimated)
-      // suppressed count — same accounting as Lsh.saltedDropEstimate
-      val est = hotGrams.agg(coalesce(sum(
-        col("count").cast("double") * (col("count") - 1) / 2
-          - (col("count") - col("nsalt"))), lit(0.0))).head().getDouble(0).toLong
-      acc.add(est)
+      .as[(Long, Long, Int)]
+    val counted = dropped match {
+      case Some(acc) => censusRows.mapPartitions { it =>
+        it.map { case r @ (_, n, s) => acc.add(n * (n - 1) / 2 - (n - s)); r }
+      }
+      case None => censusRows
     }
+    val hotGrams = counted.toDF("gram", "count", "nsalt")
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val salted = g.join(broadcast(hotGrams.drop("count")), Seq("gram"), "left")
       .withColumn("is_hot", col("nsalt").isNotNull)
       .withColumn("salt",
@@ -366,17 +376,27 @@ object ExactSubstr {
               i += 1
             }
             var emitted = 0L
-            // star edges carry the TRUE pairwise run length vs the hub —
+            // Star edges carry the TRUE pairwise run length vs the hub —
             // the range-min of the adjacent LCPs between the two entries
-            // (scanned outward from h); the chain fallback keeps a member
-            // connected when its hub edge fails the fraction filter (e.g.
-            // a long hub doc) but its SA-adjacent pair passes
+            // (scanned outward from h). When a member's hub edge fails the
+            // length filters (e.g. a long hub doc), BOTH of its SA-adjacent
+            // chain edges are tried as connectivity fallbacks (a one-sided
+            // fallback can still isolate a member whose single neighbor is
+            // same-doc or another long doc). Connectivity is thereby
+            // preserved in every case where some adjacent edge passes; a
+            // member whose star AND both chain edges all fail the filters
+            // can still split off pairs it shares with non-adjacent short
+            // members — such residual drops are part of the COUNTED
+            // suppression below, never silent.
             var minL = Int.MaxValue
             i = h + 1
             while (i < g) {
               minL = math.min(minL, gLcps(i - 1))
               if (record(gDocs(h), gDocs(i), minL)) emitted += 1
-              else if (record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
+              else {
+                if (record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
+                if (i + 1 < g && record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
+              }
               i += 1
             }
             minL = Int.MaxValue
@@ -384,7 +404,10 @@ object ExactSubstr {
             while (i >= 0) {
               minL = math.min(minL, gLcps(i))
               if (record(gDocs(h), gDocs(i), minL)) emitted += 1
-              else if (record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
+              else {
+                if (record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
+                if (i - 1 >= 0 && record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
+              }
               i -= 1
             }
             droppedPairs.foreach(_.add(math.max(0L, crossDocPairs() - emitted)))

@@ -61,16 +61,25 @@ object Lsh {
     * Pigeonhole: a pair within Hamming ≤ t differs in ≤ t blocks, so it
     * agrees on some (blocks−t)-combination and collides on that key.
     * Defaults (6 blocks, t=3) give C(6,3)=20 keys of ~32 selective bits —
-    * usable at 10^12 docs, unlike 16-bit quarters. */
-  def simhashBandKeys(simhashes: DataFrame, cfg: DedupConfig): DataFrame =
-    hamming64BandKeys(simhashes, "simhash", cfg.simhashBlocks, cfg.hammingThreshold)
+    * usable at 10^12 docs, unlike 16-bit quarters.
+    *
+    * `carryHash`: also carry the fingerprint itself per row (+8 B on the
+    * band-key shuffle) — the starred pair listing orders its chain edges by
+    * fingerprint value, so bucket neighbors in chain order are the
+    * Hamming-closest available (the connectivity insurance of the star
+    * discipline). */
+  def simhashBandKeys(simhashes: DataFrame, cfg: DedupConfig,
+                      carryHash: Boolean = false): DataFrame =
+    hamming64BandKeys(simhashes, "simhash", cfg.simhashBlocks, cfg.hammingThreshold,
+                      carryHash)
 
   /** Generic Manku-style block-combination keys for ANY 64-bit fingerprint
     * column (SimHash, media pHash, …): every pair within Hamming ≤
     * `maxHamming` collides on ≥1 key (pigeonhole over `blocks` bit blocks),
     * so bucket-join + exact-Hamming verify is EXACT — never a crossJoin. */
   def hamming64BandKeys(hashes: DataFrame, hashCol: String,
-                        blocks: Int, maxHamming: Int): DataFrame = {
+                        blocks: Int, maxHamming: Int,
+                        carryHash: Boolean = false): DataFrame = {
     require(blocks > maxHamming, s"need blocks($blocks) > maxHamming($maxHamming)")
     val base = 64 / blocks
     val extra = 64 % blocks // first `extra` blocks get one more bit
@@ -83,9 +92,11 @@ object Lsh {
       struct(lit(ci).as("band"),
              xxhash64((lit(ci) +: blockIdx.map(block)): _*).as("key"))
     }
+    val carried = if (carryHash) Seq(col(hashCol)) else Seq.empty
     hashes
-      .select(col("doc_id"), explode(array(entries: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
+      .select((Seq(col("doc_id"), explode(array(entries: _*)).as("e")) ++ carried): _*)
+      .select((Seq(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
+        ++ carried): _*)
   }
 
   /** B3 — hot-bucket salting. Census pass finds buckets over
@@ -170,6 +181,65 @@ object Lsh {
     pairs.groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
   }
 
+  /** J1 variant with a PAIR-LISTING star cap (the `pairListMaxClique`
+    * discipline ExactSubstr introduced, applied to banded LSH): buckets
+    * with more than `starCap` members emit, instead of the C(n,2) clique,
+    *  - a STAR to the bucket's minimum doc_id, plus
+    *  - a CHAIN of adjacent pairs in `orderCol` order (for the SimHash
+    *    family that is the fingerprint value, so chain neighbors are the
+    *    Hamming-closest members available — connectivity insurance when a
+    *    hub↔member edge fails the exact verify).
+    * Buckets at or below the cap keep the exact all-pairs listing. The
+    * salt lanes bound TASK size (`saltMaxBucket`); this bounds OUTPUT
+    * volume — at 960k docs the SimHash family's 2.38M verified pairs were
+    * mostly boilerplate cliques CC does not need (stars span them). The
+    * suppressed pairs are counted by `starredDropEstimate` — loud, never
+    * silent. Uniform per-(key, salt) census: hot lanes need no special
+    * case (a lane is just a bucket), and window partitions are bounded by
+    * saltMaxBucket so no window skew. */
+  def candidatePairsStarred(saltedKeys: DataFrame, starCap: Int,
+                            orderCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key", "salt")
+    val cols = Seq("key", "salt", "doc_id") ++
+      (if (orderCol == "doc_id") Nil else Seq(orderCol))
+    val withC = saltedKeys
+      .select(cols.map(col): _*)
+      .withColumn("c", count(lit(1)).over(w))
+    val small = withC.where(col("c") <= starCap)
+    val smallPairs = small.select(col("key"), col("salt"), col("doc_id").as("a"))
+      .join(small.select(col("key"), col("salt"), col("doc_id").as("b")),
+            Seq("key", "salt"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    val big = withC.where(col("c") > starCap)
+    val hubPairs = big.withColumn("m", min("doc_id").over(w))
+      .where(col("doc_id") =!= col("m"))
+      .select(col("m").as("a"), col("doc_id").as("b"))
+    val chainPairs = big
+      .withColumn("prev",
+        lag("doc_id", 1).over(w.orderBy(col(orderCol), col("doc_id"))))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("a"), col("doc_id").as("b"))
+    smallPairs.unionByName(hubPairs).unionByName(chainPairs)
+      .select(least(col("a"), col("b")).as("a"),
+              greatest(col("a"), col("b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
+  }
+
+  /** Pairs the starred listing suppresses, estimated: Σ over buckets of
+    * n > cap members of C(n,2) − 2(n−1) (star + chain emit ≤ 2(n−1) edges,
+    * so this slightly UNDER-counts the drop when star and chain edges
+    * coincide — an estimate, recorded as a metrics row, same contract as
+    * `saltedDropEstimate`). */
+  def starredDropEstimate(saltedKeys: DataFrame, starCap: Int): Long = {
+    val sizes = saltedKeys.groupBy("key", "salt").count()
+      .where(col("count") > starCap)
+      .select(col("count").cast("double").as("n"))
+    sizes.select(coalesce(sum(col("n") * (col("n") - 1) / 2 - (col("n") - 1) * 2),
+                          lit(0.0)))
+      .head().getDouble(0).toLong
+  }
+
   /** Restrict a per-doc table to docs that appear in at least one candidate
     * pair — the verify joins then shuffle only candidate docs' rows instead
     * of the whole corpus (the heaviest shuffle in the pipeline when
@@ -231,11 +301,17 @@ object Lsh {
     verifyJaccard(candidatePairs(keys), sh, cfg)
   }
 
-  /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming). */
+  /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming).
+    * Pair listing runs the `candidatePairsStarred` discipline at the
+    * pairListMaxClique cap, chain-ordered by fingerprint: C(6,3)=20 keys
+    * per doc make boilerplate cliques the family's heaviest output by far
+    * (measured 2.38M verified pairs at 960k docs, mostly redundant for
+    * CC), and the star+chain listing bounds it linearly per bucket. */
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     val sims = simhashes(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val keys = saltBandKeys(simhashBandKeys(sims, cfg), cfg)
-    verifyHamming(candidatePairs(keys), sims, cfg)
+    val keys = saltBandKeys(simhashBandKeys(sims, cfg, carryHash = true), cfg)
+    val cands = candidatePairsStarred(keys, ExactSubstr.pairStarCap(cfg), "simhash")
+    verifyHamming(cands, sims, cfg)
   }
 
   /** V3 — evidence accumulation [FredJain05]: union of verified pair

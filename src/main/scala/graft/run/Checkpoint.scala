@@ -112,12 +112,23 @@ object Checkpoint {
       .collect().map(_.getTimestamp(0)).toSet
   }
 
-  /** Distinct non-null `warc_day` values of a day-carrying input — one
-    * column-pruned pass (prod Iceberg answers this from partition
-    * metadata without scanning data files). */
-  private def dayValues(input: DataFrame): Set[java.sql.Timestamp] =
-    input.select("warc_day").where(col("warc_day").isNotNull)
-      .distinct().collect().map(_.getTimestamp(0)).toSet
+  /** Distinct `warc_day` values of a day-carrying input — one column-pruned
+    * pass (prod Iceberg answers this from partition metadata without
+    * scanning data files). LOUD on nulls: a null crawl day is invisible to
+    * day-granular resume — after the initial build, such rows would never
+    * be pending and thus be silently dropped from every incremental run.
+    * Refusing up front (on the full build too) turns silent data loss into
+    * an immediate, explained error. */
+  private def dayValues(input: DataFrame): Set[java.sql.Timestamp] = {
+    val vals = input.select("warc_day").distinct().collect()
+      .map(r => Option(r.getTimestamp(0))).toSet
+    require(!vals.contains(None),
+      "day-incremental stage requires a non-null warc_ts/warc_day on every " +
+        "row: null-day rows are invisible to day-granular resume and would " +
+        "be silently lost on incremental runs — stamp a real crawl " +
+        "timestamp, or use the day-less stage path for this input")
+    vals.flatten
+  }
 
   /**
    * Day-incremental stage (K2 at crawl-day granularity — the unit prod
@@ -132,6 +143,7 @@ object Checkpoint {
   def stageDays(spark: SparkSession, root: String, name: String, cfg: DedupConfig,
                 runId: String)(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val dir = s"$root/$name"
+    val inDays = dayValues(input) // also validates: nulls are refused loudly
     val sameCfg = readManifest(spark, root, name).exists(_.configHash == cfg.configHash)
     if (!sameCfg) {
       val t0 = System.nanoTime()
@@ -144,7 +156,7 @@ object Checkpoint {
       Lineage.append(spark, root, runId, name, cfg.configHash, out)
       out
     } else {
-      val pending = (dayValues(input) -- doneDaySet(spark, root, name, cfg)).toSeq
+      val pending = (inDays -- doneDaySet(spark, root, name, cfg)).toSeq
       if (pending.isEmpty) {
         Metrics.append(spark, root, runId, name,
           readManifest(spark, root, name).map(_.rowCount).getOrElse(0L), 0L, resumed = true)
@@ -163,8 +175,12 @@ object Checkpoint {
         val appended = out.where(col("warc_day").isin(pending: _*))
         val newRows = appended.count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        writeManifest(spark, root, Manifest(name, cfg.configHash,
-          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L) + newRows, wallMs))
+        // manifest rowCount is a FULL recount, not previous+new: after a
+        // torn run (crash between manifest write and lineage append) the
+        // restart recomputes the day, and an incremental sum would count it
+        // twice — drifting the docs_rows resume key and metrics. Parquet
+        // footer counts make the recount metadata-cheap.
+        writeManifest(spark, root, Manifest(name, cfg.configHash, out.count(), wallMs))
         Metrics.append(spark, root, runId, name, newRows, wallMs, resumed = false)
         Lineage.append(spark, root, runId, name, cfg.configHash, appended)
         out
@@ -189,6 +205,7 @@ object Checkpoint {
                         runId: String, buckets: Int, byCol: String)
                        (input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val tbl = bucketedTableName(root, name)
+    val inDays = dayValues(input) // also validates: nulls are refused loudly
     val sameCfg = readManifest(spark, root, name).exists(_.configHash == cfg.configHash) &&
       spark.catalog.tableExists(tbl)
     val torn = sameCfg &&
@@ -205,7 +222,7 @@ object Checkpoint {
       Lineage.append(spark, root, runId, name, cfg.configHash, out)
       out
     } else {
-      val pending = (dayValues(input) -- doneDaySet(spark, root, name, cfg)).toSeq
+      val pending = (inDays -- doneDaySet(spark, root, name, cfg)).toSeq
       if (pending.isEmpty) {
         Metrics.append(spark, root, runId, name,
           readManifest(spark, root, name).map(_.rowCount).getOrElse(0L), 0L, resumed = true)
@@ -219,8 +236,8 @@ object Checkpoint {
         val appended = out.where(col("warc_day").isin(pending: _*))
         val newRows = appended.count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        writeManifest(spark, root, Manifest(name, cfg.configHash,
-          readManifest(spark, root, name).map(_.rowCount).getOrElse(0L) + newRows, wallMs))
+        // full recount — same torn-run drift rationale as stageDays
+        writeManifest(spark, root, Manifest(name, cfg.configHash, out.count(), wallMs))
         Metrics.append(spark, root, runId, name, newRows, wallMs, resumed = false)
         Lineage.append(spark, root, runId, name, cfg.configHash, appended)
         out

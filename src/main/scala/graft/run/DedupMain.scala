@@ -135,12 +135,16 @@ object DedupMain {
       s"docs_rows=${Checkpoint.readManifest(spark, root, "docs").map(_.rowCount).getOrElse(-1L)}"
     val bandKeys = Checkpoint.stage(spark, root, "band_keys", cfg, runId, inputKey) {
       // the band index is folded into `key` (Lsh.minhashBandKeys /
-      // simhashBandKeys), so the bucket identity downstream is (key, salt)
+      // simhashBandKeys), so the bucket identity downstream is (key, salt).
+      // The sh rows carry the fingerprint (+8 B/row) — the starred pair
+      // listing chain-orders hot buckets by it; mh rows carry a null.
       val mh = Lsh.saltBandKeys(
         Lsh.minhashBandKeys(signatures.select("doc_id", "minhash"), cfg), cfg)
         .withColumn("family", lit("minhash"))
+        .withColumn("simhash", lit(null).cast("long"))
       val sh = Lsh.saltBandKeys(
-        Lsh.simhashBandKeys(signatures.select("doc_id", "simhash"), cfg), cfg)
+        Lsh.simhashBandKeys(signatures.select("doc_id", "simhash"), cfg,
+          carryHash = true), cfg)
         .withColumn("family", lit("simhash"))
       mh.unionByName(sh)
     }
@@ -164,9 +168,17 @@ object DedupMain {
     // already-transitively-connected pairs per family — recorded as metrics
     // rows, never silent (Lsh.saltedDropEstimate contract). Skipped on
     // resume: the original run already recorded them.
-    if (!dupPairsResumed) Seq("minhash", "simhash").foreach { fam =>
-      Metrics.append(spark, root, runId, s"salted_drop_est_$fam",
-        Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
+    if (!dupPairsResumed) {
+      Seq("minhash", "simhash").foreach { fam =>
+        Metrics.append(spark, root, runId, s"salted_drop_est_$fam",
+          Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
+          0L, resumed = false)
+      }
+      // in-lane star+chain suppression of the simhash pair listing (the
+      // salting estimate above counts only CROSS-lane drops)
+      Metrics.append(spark, root, runId, "starcap_drop_est_simhash",
+        Lsh.starredDropEstimate(bandKeys.where(col("family") === "simhash"),
+          ExactSubstr.pairStarCap(cfg)),
         0L, resumed = false)
     }
     val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
@@ -175,12 +187,16 @@ object DedupMain {
       // star-vs-clique discipline on it — dropping it would run the full
       // self-join over hot salt lanes (quadratic boilerplate blowup) and
       // diverge from the Dedup facade at the same configHash.
-      def cands(family: String) =
-        Lsh.candidatePairs(bandKeys.where(col("family") === family)
+      val mhc = Lsh.candidatePairs(bandKeys.where(col("family") === "minhash")
           .select("doc_id", "key", "salt", "is_hot"))
-          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val mhc = cands("minhash")
-      val shc = cands("simhash")
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // simhash pair listing runs the star+chain cap (Lsh.simhashDupPairs
+      // rationale), chain-ordered by the carried fingerprint
+      val shc = Lsh.candidatePairsStarred(
+          bandKeys.where(col("family") === "simhash")
+            .select("doc_id", "key", "salt", "simhash"),
+          ExactSubstr.pairStarCap(cfg), "simhash")
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // ONE action materializes both lazy candidate checkpoints AND the

@@ -23,8 +23,12 @@ object StreamingDedup {
 
   final case class BandKey(band: Int, key: Long, doc_id: Long)
   final case class CandPair(a: Long, b: Long, band: Int, key: Long)
-  /** Bounded bucket membership, plus how many docs the cap suppressed. */
-  final case class BucketState(members: List[Long], suppressed: Long)
+  /** Bounded bucket membership (SORTED ascending — membership tests are
+    * binary searches, not list scans; at cap=1000 a per-batch linear
+    * `contains` over a List was O(cap²) compares per bucket), plus how many
+    * docs the cap suppressed. Array[Long] state also encodes to a compact
+    * unboxed UnsafeArrayData row instead of a boxed list. */
+  final case class BucketState(members: Array[Long], suppressed: Long)
 
   /** Band keys as a streaming-safe projection (same expressions as batch). */
   def bandKeys(docs: DataFrame, cfg: DedupConfig): Dataset[BandKey] = {
@@ -47,15 +51,18 @@ object StreamingDedup {
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((band, key), rows, state: GroupState[BucketState]) =>
-          val prev = state.getOption.getOrElse(BucketState(Nil, 0L))
-          val incoming = rows.map(_.doc_id).toSeq.distinct.filterNot(prev.members.contains)
+          val prev = state.getOption.getOrElse(BucketState(Array.emptyLongArray, 0L))
+          val existing = prev.members // sorted ascending (state invariant)
+          val incoming = rows.map(_.doc_id).toSeq.distinct
+            .filter(d => java.util.Arrays.binarySearch(existing, d) < 0)
           val cap = if (cfg.saltMaxBucket > 0) cfg.saltMaxBucket else Int.MaxValue
-          val room = math.max(0, cap - prev.members.size)
+          val room = math.max(0, cap - existing.length)
           val admitted = incoming.take(room)
           val suppressed = prev.suppressed + (incoming.size - admitted.size)
-          state.update(BucketState(admitted.toList ::: prev.members, suppressed))
+          val merged = existing ++ admitted
+          java.util.Arrays.sort(merged)
+          state.update(BucketState(merged, suppressed))
           // new pairs: admitted × existing  ∪  admitted × admitted
-          val existing = prev.members
           val newPairs = for {
             (n, i) <- admitted.zipWithIndex
             o <- existing.iterator ++ admitted.drop(i + 1).iterator
@@ -147,8 +154,9 @@ object StreamingDedup {
       .select(least(col("a"), col("b")).as("a"),
               greatest(col("a"), col("b")).as("b"))
       .distinct()
-    val allSh = spark.read.parquet(s"$root/shingled").select("doc_id", "shingles")
-    Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nCands = cands.count()
+    verifiedNewPairs(spark, root, cands, nCands, cfg)
       .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$batchId")
     // Incremental CC over the CONTRACTED history: the previous committed
     // snapshot's (doc_id, cluster_id) rows are a spanning star of every
@@ -168,6 +176,33 @@ object StreamingDedup {
     ConnectedComponents.assign(
         prevEdges.fold(newPairs)(_.unionByName(newPairs)))
       .write.mode("overwrite").parquet(s"$root/clusters/batch_id=$batchId")
+    // Per-batch checkpoint-block lifecycle: everything this batch needed is
+    // now durably written — without explicit unpersist a long-running stream
+    // piles one set of executor blocks per micro-batch until the
+    // ContextCleaner happens to notice (the CC round-lifecycle lesson).
+    Seq(sh, newKeys, cands).foreach(unpersistCheckpoint)
+  }
+
+  /** RDD blocks behind a localCheckpoint'd DataFrame, released. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** This batch's verified pairs: the accumulated shingle state is
+    * candidate-restricted BEFORE the verify join (count-gated broadcast
+    * LeftSemi — `Lsh.restrictToCandidateDocs`, the batch path's own
+    * discipline). Every candidate involves ≥1 new doc, but the join's
+    * shingle side was previously the ENTIRE history: a long-running
+    * stream's per-batch verify cost grew O(state) on exactly the axis the
+    * incremental CC keeps flat. Plan-asserted in StreamingDedupSpec. */
+  private[streaming] def verifiedNewPairs(spark: org.apache.spark.sql.SparkSession,
+                                          root: String, cands: DataFrame,
+                                          nCands: Long, cfg: DedupConfig): DataFrame = {
+    val allSh = Lsh.restrictToCandidateDocs(
+      spark.read.parquet(s"$root/shingled").select("doc_id", "shingles"),
+      cands, 2 * nCands)
+    Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
   }
 
   /** batch_ids with a fully-committed (_SUCCESS) snapshot under `dir`. */

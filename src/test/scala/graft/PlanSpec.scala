@@ -108,13 +108,26 @@ class PlanSpec extends SparkSuite {
   test("facade verify joins are candidate-restricted via a broadcast semi-join") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
-    val plan = physicalPlan(Dedup.dupPairs(docs, cfg))
+    // the public dupPairs eagerly checkpoints (block lifecycle), which
+    // hides the plan behind a LogicalRDD — judge the lazy plan it runs
+    val plan = physicalPlan(Dedup.dupPairsPlan(docs, cfg)._1)
     // the count-gated restrictToCandidateDocs must survive into the plan:
     // the per-doc tables reach the verify joins through a LeftSemi against
     // the broadcast candidate-id list, so shingle arrays only shuffle for
     // candidate docs (the facade's 100-TB shuffle discipline)
     assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
       s"expected broadcast left-semi candidate restriction:\n$plan")
+  }
+
+  test("cluster table has no per-cluster window (mega-cluster skew-safe)") {
+    // a web-scale boilerplate component lands its whole `partition by
+    // cluster_id` window on ONE task and AQE cannot split window skew —
+    // the clusters table must be built from a groupBy + join instead
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val plan = physicalPlan(
+      graft.operators.ConnectedComponents.clusters(assign))
+    assert(!plan.contains("Window"),
+      s"clusters must not use a per-cluster window:\n$plan")
   }
 
   test("signature projection stays inside whole-stage codegen, evaluated once") {

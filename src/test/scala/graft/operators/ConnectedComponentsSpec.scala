@@ -103,4 +103,44 @@ class ConnectedComponentsSpec extends SparkSuite {
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
       (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
   }
+
+  test("clusters table: one giant cluster (mega-cluster fixture)") {
+    // web-scale boilerplate components have 10^7+ members; the pre-r4
+    // window form put the whole component on ONE task. The groupBy+join
+    // form must produce identical values (plan shape asserted in PlanSpec).
+    val n = 50000L
+    val giant = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit(1L).as("cluster_id"))
+      .unionByName(Seq((900001L, 900001L), (900002L, 900001L))
+        .toDF("doc_id", "cluster_id"))
+    val out = ConnectedComponents.clusters(giant)
+    assert(out.count() === n + 2)
+    assert(out.where(col("cluster_id") === 1L && col("cluster_size") === n)
+      .count() === n)
+    val canon = out.where(col("is_canonical")).select("doc_id")
+      .as[Long].collect().sorted
+    assert(canon === Array(1L, 900001L),
+      "exactly the min member of each cluster is canonical")
+  }
+
+  test("fast-path gate respects a configured memory budget (small executors)") {
+    // 640-byte budget / 64 B-per-edge = a 10-edge gate: an 99-edge graph
+    // must take the ITERATIVE path (no single-task MapPartitions in the
+    // plan) and still match the oracle — the small-executor OOM guard
+    val edges = (1L to 100L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val df = edges.toDF("a", "b")
+    spark.conf.set("graft.cc.smallGraphBudgetBytes", "640")
+    try {
+      assert(ConnectedComponents.memoryDerivedMaxEdges(spark) === 10L)
+      val out = ConnectedComponents.assign(df)
+      assert(!out.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "expected the distributed iterative path under a tiny memory budget")
+      assert(out.as[(Long, Long)].collect().toMap === unionFind(0, edges))
+    } finally spark.conf.unset("graft.cc.smallGraphBudgetBytes")
+    // default budget (test JVM heap): the same graph takes the fast path
+    val fast = ConnectedComponents.assign(df)
+    assert(fast.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "expected the single-task fast path at the default budget")
+    assert(fast.as[(Long, Long)].collect().toMap === unionFind(0, edges))
+  }
 }

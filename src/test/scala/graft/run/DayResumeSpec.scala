@@ -97,6 +97,22 @@ class DayResumeSpec extends SparkSuite {
       "no-change rerun must resume every stage")
   }
 
+  test("day-incremental stages refuse null warc_day rows loudly") {
+    // a null crawl day is invisible to day-granular resume: after the first
+    // build such rows would never be pending again and would silently drop
+    // out of every incremental run — the stage must refuse up front instead
+    val root = tmpRoot()
+    val withNullDay = DedupMain.toDocs(
+      PagesGen.pages(spark, 20, cfg).toDF()
+        .withColumn("warc_ts",
+          when(col("url").endsWith("0"), lit(null).cast("timestamp"))
+            .otherwise(col("warc_ts"))))
+    val err = intercept[IllegalArgumentException] {
+      Checkpoint.stageDays(spark, root, "docs", cfg, "run1")(withNullDay)(identity)
+    }
+    assert(err.getMessage.contains("non-null"))
+  }
+
   test("day-less stages write null warc_day and never mark days done") {
     val root = tmpRoot()
     Checkpoint.stage(spark, root, "shingled", cfg, "run1") {

@@ -85,6 +85,22 @@ class StreamingDedupSpec extends SparkSuite {
     assert(once._4 === batchClusters)
   }
 
+  test("bridge verify join is candidate-restricted against accumulated shingle state") {
+    // the verify join's shingle side must NOT be the whole history: it goes
+    // through restrictToCandidateDocs (broadcast LeftSemi), so per-batch
+    // verify cost tracks the batch's candidates, not the stream's lifetime
+    val docs = PagesGen.docs(spark, 120, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-restrict").toString
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    val someIds = docs.select("doc_id").as[Long].take(2)
+    val cands = Seq((someIds(0), someIds(1))).toDF("a", "b")
+    val plan = StreamingDedup.verifiedNewPairs(spark, root, cands, 1L, cfg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"expected broadcast left-semi candidate restriction:\n$plan")
+  }
+
   test("windowed doc counts with watermark over the pages stream") {
     implicit val sqlCtx = spark.sqlContext
     val pages = PagesGen.pages(spark, 120, cfg).collect()

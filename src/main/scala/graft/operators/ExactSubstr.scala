@@ -190,6 +190,90 @@ object ExactSubstr {
       .select(col("a"), col("b"), col("w.off_a").as("off_a"), col("w.off_b").as("off_b"))
   }
 
+  /** Incremental X2 — new×all gram collision candidates for the day-append
+    * path: every emitted pair involves ≥1 new doc, so no candidate is ever
+    * produced twice across appends (the `Lsh.newVsAllCandidatePairs`
+    * discipline, carrying the gram witness offsets the byte-verify needs).
+    * Hot grams (census over all entries, > pairStarCap) emit a star from
+    * each NEW entry to the global-min (doc, off) witness plus a
+    * hub-to-previous-hub chain edge — never the quadratic product. */
+  def newVsAllGramCandidates(newGrams: DataFrame, oldGrams: DataFrame,
+                             cfg: DedupConfig): DataFrame = {
+    val cap = math.max(1, pairStarCap(cfg))
+    val gAll = newGrams.unionByName(oldGrams)
+    val hot = gAll.groupBy("gram").count()
+      .where(col("count") > cap).select("gram")
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // canonical (a < b) pair with the witness offsets on the right sides
+    def canon(xd: org.apache.spark.sql.Column, xo: org.apache.spark.sql.Column,
+              yd: org.apache.spark.sql.Column, yo: org.apache.spark.sql.Column) = Seq(
+      least(xd, yd).as("a"), greatest(xd, yd).as("b"),
+      when(xd < yd, xo).otherwise(yo).as("off_a"),
+      when(xd < yd, yo).otherwise(xo).as("off_b"))
+    val coldNew = newGrams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val coldAll = gAll.join(broadcast(hot), Seq("gram"), "left_anti")
+    val coldPairs = coldNew
+      .select(col("gram"), col("doc_id").as("xd"), col("off").as("xo"))
+      .join(coldAll.select(col("gram"), col("doc_id").as("yd"), col("off").as("yo")),
+            "gram")
+      .where(col("xd") =!= col("yd"))
+      .select(canon(col("xd"), col("xo"), col("yd"), col("yo")): _*)
+    val hubAll = gAll.join(broadcast(hot), Seq("gram"))
+      .groupBy("gram").agg(min(struct(col("doc_id"), col("off"))).as("h"))
+    val hubOld = oldGrams.join(broadcast(hot), Seq("gram"))
+      .groupBy("gram").agg(min(struct(col("doc_id"), col("off"))).as("ho"))
+    val spokes = newGrams.join(broadcast(hot), Seq("gram"))
+      .join(hubAll, "gram")
+      .where(col("doc_id") =!= col("h.doc_id"))
+      .select(canon(col("doc_id"), col("off"), col("h.doc_id"), col("h.off")): _*)
+    val chain = hubAll.join(hubOld, "gram")
+      .where(col("h.doc_id") =!= col("ho.doc_id"))
+      .select(canon(col("h.doc_id"), col("h.off"), col("ho.doc_id"), col("ho.off")): _*)
+    coldPairs.unionByName(spokes).unionByName(chain)
+      .groupBy("a", "b")
+      .agg(min(struct(col("off_a"), col("off_b"))).as("w"))
+      .select(col("a"), col("b"), col("w.off_a").as("off_a"), col("w.off_b").as("off_b"))
+  }
+
+  /** Incremental substring family for a day-append, full-contract (runs ≥
+    * gramLen, same as the batch family):
+    *  - gram route: new×all winnowed-index join (exact for repeats ≥ the
+    *    winnowing guarantee between new docs and the whole corpus);
+    *  - suffix-array route: ONLY the shards containing ≥1 new doc are
+    *    re-scanned. Shard assignment pmod(hash(doc_id), numShards) is a
+    *    pure per-doc function, so a touched shard's suffix groups equal
+    *    the from-scratch run's for that shard; the `is_new` flag drops
+    *    old↔old pairs inside the task (already in the accumulated table).
+    *    This closes the short-run window [gramLen, gramLen+winnowW−2] the
+    *    gram route cannot guarantee across increments.
+    *
+    * `numShards` MUST be the shard count the accumulated pair table was
+    * built at (callers pin it in the stage manifest and apply hysteresis:
+    * when the corpus outgrows ~2× the per-shard byte target, they fall
+    * back to a full rebuild at a fresh byte-scaled count — amortized
+    * O(log growth) rebuilds, the classic doubling argument). Per-append
+    * cost: touched shards ≈ S·(1−e^(−newDocs/S)) of the corpus — linear
+    * co-partition work, never a quadratic candidate join. */
+  def substrDupPairsIncremental(docsNew: DataFrame, docsOld: DataFrame,
+                                cfg: DedupConfig, numShards: Int): DataFrame = {
+    val grNew = gramIndex(docsNew, cfg).toDF()
+    val grOld = gramIndex(docsOld, cfg).toDF()
+    val cands = newVsAllGramCandidates(grNew, grOld, cfg)
+    val allTexts = docsNew.select("doc_id", "text")
+      .unionByName(docsOld.select("doc_id", "text"))
+    val gramRoute = verifyExtend(cands, allTexts, cfg).toDF()
+    // same hash family as repartition's HashPartitioning (Murmur3, seed 42)
+    val shardOf = pmod(hash(col("doc_id")), lit(numShards))
+    val touched = docsNew.select(shardOf.as("s")).distinct()
+    val flagged = docsNew.select(col("doc_id"), col("text"), lit(true).as("is_new"))
+      .unionByName(docsOld.select(col("doc_id"), col("text"), lit(false).as("is_new")))
+    val scoped = flagged.join(broadcast(touched), shardOf === col("s"), "left_semi")
+    val shardRoute = shardRepeats(scoped, cfg, Some(numShards)).toDF()
+    gramRoute.unionByName(shardRoute)
+      .groupBy("a", "b")
+      .agg(max("match_len").as("match_len"))
+  }
+
   /** X3 — fetch both texts, byte-verify the witness gram, extend left/right
     * to the maximal run; keep pairs with a run ≥ gramLen. */
   def verifyExtend(cands: DataFrame, docs: DataFrame, cfg: DedupConfig): Dataset[SubstrPair] = {
@@ -235,7 +319,7 @@ object ExactSubstr {
     * int arrays for the suffix sort (sa/rank/rank2/tmp), so 16 MB shards
     * keep each task's working set ≈ 256 MB — safe with many concurrent
     * tasks per executor. */
-  private[operators] val TargetShardBytes = 16L * 1024 * 1024
+  private[graft] val TargetShardBytes = 16L * 1024 * 1024
 
   /** Shard count for `shardRepeats`: a pure function of total corpus text
     * bytes (NOT of parallelism), so "same config + same input ⇒ same
@@ -285,9 +369,18 @@ object ExactSubstr {
     // repartition on doc_id into `shards` shards, so "same config ⇒ same
     // pairs" holds at ANY parallelism (upstream partitioning must not leak
     // into which repeats this route can see — the N-vs-4N invariant).
-    docs.select(col("doc_id"), col("text"))
+    //
+    // Optional `is_new` column (day-append route): when present, only
+    // pairs involving ≥1 flagged doc are emitted — old↔old pairs of a
+    // re-scanned shard are already in the accumulated pair table. Absent
+    // ⇒ every doc counts as new (the batch semantics, unchanged).
+    val flagged =
+      if (docs.columns.contains("is_new"))
+        docs.select(col("doc_id"), col("text"), col("is_new"))
+      else docs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
+    flagged
       .repartition(shards, col("doc_id"))
-      .as[(Long, String)].mapPartitions { it =>
+      .as[(Long, String, Boolean)].mapPartitions { it =>
       val shard = it.filter(_._2 != null).toArray
       if (shard.length < 2) Iterator.empty
       else {
@@ -321,6 +414,7 @@ object ExactSubstr {
         def record(da: Int, db: Int, l: Int): Boolean = {
           if (da == db) return false
           val lo = math.min(da, db); val hi = math.max(da, db)
+          if (!shard(lo)._3 && !shard(hi)._3) return false // old↔old (day-append)
           if (l < L || l < frac * math.min(texts(lo).length, texts(hi).length))
             return false
           if (2 * nRecs + 2 > recs.length) recs = java.util.Arrays.copyOf(recs, recs.length * 2)

@@ -240,6 +240,44 @@ object Lsh {
       .head().getDouble(0).toLong
   }
 
+  /** Incremental new×all bucket candidates — the shared machinery of the
+    * streaming foreachBatch bridge AND DedupMain's day-append path. Inputs
+    * are (doc_id, key) band-key tables with `allKeys` = `oldKeys` ∪
+    * `newKeys`; the bucket join runs new×all (all includes new, so new-new
+    * pairs collide too), so every emitted pair involves ≥1 new doc and no
+    * pair is ever produced twice across increments. Hot buckets (census
+    * over ALL members, > cap) emit hub stars — every new member to the
+    * bucket's global-min hub, plus hub-to-previous-hub when a new arrival
+    * takes over the minimum — instead of the quadratic product:
+    * connectivity matches the batch star lanes. */
+  def newVsAllCandidatePairs(newKeys: DataFrame, oldKeys: DataFrame,
+                             allKeys: DataFrame, cap: Int): DataFrame = {
+    val capped = math.max(1, cap)
+    val hot = allKeys.groupBy("key").count().where(col("count") > capped).select("key")
+    val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
+      .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+    val hubAll = allKeys.join(broadcast(hot), Seq("key"))
+      .groupBy("key").agg(min("doc_id").as("hub"))
+    val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
+      .groupBy("key").agg(min("doc_id").as("old_hub"))
+    val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
+      .join(hubAll, "key")
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
+    val hubChain = hubAll.join(hubOld, "key")
+      .where(col("hub") =!= col("old_hub"))
+      .select(col("hub").as("a"), col("old_hub").as("b"))
+    coldCands.unionByName(hotSpokes).unionByName(hubChain)
+      .select(least(col("a"), col("b")).as("a"),
+              greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
   /** Restrict a per-doc table to docs that appear in at least one candidate
     * pair — the verify joins then shuffle only candidate docs' rows instead
     * of the whole corpus (the heaviest shuffle in the pipeline when

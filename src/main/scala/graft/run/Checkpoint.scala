@@ -40,7 +40,7 @@ object Checkpoint {
     }
   }
 
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+  private[run] def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
     val p = manifestPath(root, m.stage)
     val f = fs(spark, p)
     val out = f.create(p, true)
@@ -103,8 +103,8 @@ object Checkpoint {
   /** Days already recorded done by `stage` at this configHash — driver-side
     * (day cardinality is tiny: one per crawl day). Empty when no lineage
     * exists yet. */
-  private def doneDaySet(spark: SparkSession, root: String, stage: String,
-                         cfg: DedupConfig): Set[java.sql.Timestamp] = {
+  private[run] def doneDaySet(spark: SparkSession, root: String, stage: String,
+                              cfg: DedupConfig): Set[java.sql.Timestamp] = {
     val linPath = new Path(s"$root/_lineage")
     if (!fs(spark, linPath).exists(linPath)) Set.empty
     else Resume.doneDays(
@@ -324,6 +324,23 @@ object Lineage {
 
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_lineage")
+
+  /** Driver-built day rows for stages whose output is not itself
+    * day-stamped row-by-row (the pair table: a pair SPANS days; its
+    * generation day is an attribute, not a grouping of output rows).
+    * Marks every listed day done — including zero-row days, which must
+    * still be recorded or the append gate would reprocess them forever. */
+  def appendDays(spark: SparkSession, root: String, runId: String, stageName: String,
+                 configHash: String,
+                 dayRows: Seq[(java.sql.Timestamp, Long)]): Unit = {
+    import spark.implicits._
+    dayRows.zipWithIndex
+      .map { case ((d, n), i) => (runId, stageName, i + 1, d, n, configHash, "ok") }
+      .toDF("run_id", "stage", "input_partition", "warc_day", "rows",
+            "config_hash", "status")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+  }
 }
 
 /** K2/J3 — partition-level resume filters: restrict the input scan to

@@ -131,44 +131,45 @@ object DedupMain {
     // the global stages below consume ALL days — a day-append changes their
     // input, which the configHash alone cannot see: fold the docs row count
     // into their resume keys so stale reuse is impossible
-    val inputKey =
-      s"docs_rows=${Checkpoint.readManifest(spark, root, "docs").map(_.rowCount).getOrElse(-1L)}"
-    val bandKeys = Checkpoint.stage(spark, root, "band_keys", cfg, runId, inputKey) {
-      // the band index is folded into `key` (Lsh.minhashBandKeys /
-      // simhashBandKeys), so the bucket identity downstream is (key, salt).
-      // The sh rows carry the fingerprint (+8 B/row) — the starred pair
-      // listing chain-orders hot buckets by it; mh rows carry a null.
-      val mh = Lsh.saltBandKeys(
-        Lsh.minhashBandKeys(signatures.select("doc_id", "minhash"), cfg), cfg)
-        .withColumn("family", lit("minhash"))
-        .withColumn("simhash", lit(null).cast("long"))
-      val sh = Lsh.saltBandKeys(
-        Lsh.simhashBandKeys(signatures.select("doc_id", "simhash"), cfg,
-          carryHash = true), cfg)
-        .withColumn("family", lit("simhash"))
-      mh.unionByName(sh)
-    }
+    val docsRows = Checkpoint.readManifest(spark, root, "docs").map(_.rowCount).getOrElse(-1L)
+    val inputKey = s"docs_rows=$docsRows"
     // Substring sharding scales with corpus bytes (determinism: a pure
     // function of input content, not parallelism — ExactSubstr.shardsFor is
     // the single source of truth shared with the Dedup facade/SparkEntry).
-    // Computed unconditionally: the shard count is folded into the
-    // dup_pairs resume key, so a restart against a corpus that grew past a
-    // shard boundary (different shard composition ⇒ different within-shard
-    // pair sets at the same configHash) recomputes instead of silently
-    // reusing stale pairs. The byte count is one column-pruned scan of the
-    // materialized docs stage.
+    // The shard count is folded into the dup_pairs resume key, so a restart
+    // against a corpus that grew past a shard boundary recomputes (full
+    // path) or day-appends (incremental path) instead of silently reusing
+    // stale pairs. One column-pruned scan of the materialized docs stage.
     val totalTextBytes = ExactSubstr.totalTextBytes(docs)
     val substrShards = ExactSubstr.shardsFor(totalTextBytes, cfg)
     // ';' separator — the manifest's flat JSON parser treats ',' as a
     // field delimiter, so a comma inside the key would corrupt the readback
     val substrKey = s"$inputKey;substr_shards=$substrShards"
-    val dupPairsResumed = Checkpoint.readManifest(spark, root, "dup_pairs")
-      .exists(_.configHash == Checkpoint.stageKey(cfg, substrKey))
-    // loud-cap accounting: hot-lane starring drops an ESTIMATED number of
-    // already-transitively-connected pairs per family — recorded as metrics
-    // rows, never silent (Lsh.saltedDropEstimate contract). Skipped on
-    // resume: the original run already recorded them.
-    if (!dupPairsResumed) {
+    val dupKey = Checkpoint.stageKey(cfg, substrKey)
+    val dupDir = s"$root/dup_pairs"
+    val prevDup = Checkpoint.readManifest(spark, root, "dup_pairs")
+    val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
+
+    /** Full-corpus three-family build → LAZY (a, b, family) plan. Builds
+      * (or resumes) the band_keys stage it consumes and records the
+      * loud-cap drop estimates (Lsh.saltedDropEstimate contract). */
+    def buildAllPairs(): DataFrame = {
+      val bandKeys = Checkpoint.stage(spark, root, "band_keys", cfg, runId, inputKey) {
+        // the band index is folded into `key` (Lsh.minhashBandKeys /
+        // simhashBandKeys), so the bucket identity downstream is
+        // (key, salt). The sh rows carry the fingerprint (+8 B/row) — the
+        // starred pair listing chain-orders hot buckets by it; mh rows
+        // carry a null.
+        val mh = Lsh.saltBandKeys(
+          Lsh.minhashBandKeys(signatures.select("doc_id", "minhash"), cfg), cfg)
+          .withColumn("family", lit("minhash"))
+          .withColumn("simhash", lit(null).cast("long"))
+        val sh = Lsh.saltBandKeys(
+          Lsh.simhashBandKeys(signatures.select("doc_id", "simhash"), cfg,
+            carryHash = true), cfg)
+          .withColumn("family", lit("simhash"))
+        mh.unionByName(sh)
+      }
       Seq("minhash", "simhash").foreach { fam =>
         Metrics.append(spark, root, runId, s"salted_drop_est_$fam",
           Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
@@ -180,9 +181,6 @@ object DedupMain {
         Lsh.starredDropEstimate(bandKeys.where(col("family") === "simhash"),
           ExactSubstr.pairStarCap(cfg)),
         0L, resumed = false)
-    }
-    val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
-    val dupPairs = Checkpoint.stage(spark, root, "dup_pairs", cfg, runId, substrKey) {
       // is_hot MUST survive this projection: candidatePairs keys its
       // star-vs-clique discipline on it — dropping it would run the full
       // self-join over hot salt lanes (quadratic boilerplate blowup) and
@@ -219,14 +217,209 @@ object DedupMain {
           signatures.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
       Lsh.dupPairs(mh, sh, sub)
     }
-    if (!dupPairsResumed) {
+    def pairMetricsAfterBuild(): Unit = {
       Metrics.append(spark, root, runId, "substr_shards", substrShards.toLong, 0L, resumed = false)
       Metrics.append(spark, root, runId, "substr_starcap_dropped_pairs",
         substrDropped.value, 0L, resumed = false)
     }
-    Checkpoint.stage(spark, root, "clusters", cfg, runId, inputKey) {
-      ConnectedComponents.clusters(
-        ConnectedComponents.assign(dupPairs.select("a", "b")))
+
+    val inDays: Seq[java.sql.Timestamp] =
+      if (dayGranular)
+        docs.select("warc_day").distinct().collect()
+          .map(_.getTimestamp(0)).toSeq.sortBy(_.getTime)
+      else Seq.empty
+
+    val dupPairs: DataFrame =
+      if (!dayGranular) {
+        // day-less inputs keep the whole-stage gate: any input change
+        // (docs_rows / shard count in the key) recomputes from scratch
+        val resumed = prevDup.exists(_.configHash == dupKey)
+        val out = Checkpoint.stage(spark, root, "dup_pairs", cfg, runId, substrKey)(buildAllPairs())
+        if (!resumed) pairMetricsAfterBuild()
+        out
+      } else {
+        // Day-granular pair store: partitioned by the pair's GENERATION day
+        // (max of its two docs' crawl days — the day the pair first became
+        // generable in day-ordered processing), with per-day lineage rows
+        // under the BARE configHash so day bookkeeping survives input-key
+        // changes. Three states:
+        //  1. manifest key matches (same config, same input) → resume;
+        //  2. same configHash, lineage covers a strict subset of the input
+        //     days → DAY-APPEND: each pending day costs new×all candidate
+        //     generation + verify, not all×all (the streaming bridge's
+        //     discipline, ported);
+        //  3. otherwise (first build / config change / shrunk input) →
+        //     full build.
+        val doneDays = Checkpoint.doneDaySet(spark, root, "dup_pairs", cfg)
+        val pending = inDays.filterNot(doneDays.contains)
+        // previous state at the SAME config: (docs_rows, substr_shards) it
+        // was built at. The shard count is PINNED across appends (shard
+        // assignment must match the accumulated pair table), with
+        // hysteresis: once the corpus outgrows ~2× the per-shard byte
+        // target, fall back to a full rebuild at a fresh byte-scaled count
+        // — amortized O(log growth) rebuilds.
+        val dayKeyRe =
+          (java.util.regex.Pattern.quote(cfg.configHash) +
+            ":docs_rows=(-?\\d+);substr_shards=(\\d+)").r
+        val prevKeyInfo: Option[(Long, Int)] = prevDup.map(_.configHash).flatMap {
+          case dayKeyRe(r, s) => Some((r.toLong, s.toInt))
+          case _ => None
+        }
+        val prevShards = prevKeyInfo.map(_._2)
+        val shardsFit = prevShards.exists(s =>
+          totalTextBytes <= 2L * s * ExactSubstr.TargetShardBytes)
+        if (prevKeyInfo.exists(_._1 == docsRows)) {
+          Metrics.append(spark, root, runId, "dup_pairs",
+            prevDup.get.rowCount, 0L, resumed = true)
+          spark.read.parquet(dupDir)
+        } else if (prevKeyInfo.isDefined && shardsFit &&
+                   doneDays.nonEmpty && doneDays.subsetOf(inDays.toSet)) {
+          val t0 = System.nanoTime()
+          var ctx = inDays.filter(doneDays.contains)
+          pending.foreach { d =>
+            appendDayPairs(spark, root, runId, cfg, docs, shingled, signatures,
+              ctx, d, prevShards.get)
+            ctx = ctx :+ d
+          }
+          val out = spark.read.parquet(dupDir)
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          Checkpoint.writeManifest(spark, root, Checkpoint.Manifest("dup_pairs",
+            Checkpoint.stageKey(cfg, s"$inputKey;substr_shards=${prevShards.get}"),
+            out.count(), wallMs))
+          Metrics.append(spark, root, runId, "dup_pairs_incremental_days",
+            pending.size.toLong, wallMs, resumed = false)
+          out
+        } else {
+          val t0 = System.nanoTime()
+          val dd = docs.select(col("doc_id"), col("warc_day"))
+          val stamped = buildAllPairs()
+            .join(dd.select(col("doc_id").as("a"), col("warc_day").as("da")), "a")
+            .join(dd.select(col("doc_id").as("b"), col("warc_day").as("db")), "b")
+            .withColumn("warc_day", greatest(col("da"), col("db")))
+            .select("a", "b", "family", "warc_day")
+          stamped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("warc_day").parquet(dupDir)
+          val out = spark.read.parquet(dupDir)
+          val rows = out.count()
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          Checkpoint.writeManifest(spark, root,
+            Checkpoint.Manifest("dup_pairs", dupKey, rows, wallMs))
+          Metrics.append(spark, root, runId, "dup_pairs", rows, wallMs, resumed = false)
+          // every input day is now covered — zero-pair days included, or
+          // the append gate would reprocess them forever
+          val perDay = out.groupBy("warc_day").count().collect()
+            .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+          Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash,
+            inDays.map(d => d -> perDay.getOrElse(d, 0L)))
+          pairMetricsAfterBuild()
+          out
+        }
+      }
+
+    if (!dayGranular) {
+      Checkpoint.stage(spark, root, "clusters", cfg, runId, inputKey) {
+        ConnectedComponents.clusters(
+          ConnectedComponents.assign(dupPairs.select("a", "b")))
+      }
+    } else {
+      // Clusters manifest key encodes WHICH pair-days the snapshot covers:
+      // an append run finds its predecessor covering a strict subset and
+      // rebuilds incrementally — CC over the previous assignment's
+      // contracted star edges (cluster_id IS a member doc_id, so those
+      // rows span every prior component) ∪ only the NEW days' pairs. Cost
+      // per append: O(clusters + new pairs), not O(total pair history) —
+      // the same bound the streaming bridge's incremental CC runs at. A
+      // crashed predecessor (pairs appended, clusters stale) parses as a
+      // smaller covered set and still rebuilds from exactly the missing
+      // days' pairs.
+      def dayListKey(days: Seq[java.sql.Timestamp]): String =
+        "pair_days=" + days.map(_.getTime / 86400000L).sorted.mkString("+")
+      val prevCovered: Option[Set[java.sql.Timestamp]] =
+        Checkpoint.readManifest(spark, root, "clusters").map(_.configHash)
+          .filter(_.startsWith(s"${cfg.configHash}:pair_days="))
+          .map(_.split("pair_days=")(1).split("\\+").filter(_.nonEmpty)
+            .map(s => new java.sql.Timestamp(s.toLong * 86400000L)).toSet)
+      Checkpoint.stage(spark, root, "clusters", cfg, runId, dayListKey(inDays)) {
+        prevCovered match {
+          case Some(cov) if cov.nonEmpty && cov.subsetOf(inDays.toSet) =>
+            // eager: the stage write overwrites the dir being read
+            val prevEdges = spark.read.parquet(s"$root/clusters")
+              .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+              .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            val newDays = inDays.filterNot(cov.contains)
+            val newPairs = dupPairs
+              .where(col("warc_day").isin(newDays.map(x => x: Any): _*))
+              .select("a", "b")
+            ConnectedComponents.clusters(
+              ConnectedComponents.assign(prevEdges.unionByName(newPairs)))
+          case _ =>
+            ConnectedComponents.clusters(
+              ConnectedComponents.assign(dupPairs.select("a", "b")))
+        }
+      }
+    }
+  }
+
+  /** One pending crawl day of the incremental pair build: new×all
+    * candidates per family (minhash/simhash band keys via
+    * `Lsh.newVsAllCandidatePairs`, substring via the gram new×all route +
+    * new-docs suffix-array shards), verify joins candidate-restricted, and
+    * the day's pairs written into their own partition with dynamic
+    * overwrite — a torn day is recomputed and overwrites itself, never
+    * double-appends. Lineage marks the day done under the bare configHash. */
+  private def appendDayPairs(spark: SparkSession, root: String, runId: String,
+                             cfg: DedupConfig, docs: DataFrame, shingled: DataFrame,
+                             signatures: DataFrame,
+                             ctxDays: Seq[java.sql.Timestamp],
+                             d: java.sql.Timestamp, substrShards: Int): Unit = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val t0 = System.nanoTime()
+    val isNew = col("warc_day") === lit(d)
+    val isOld = col("warc_day").isin(ctxDays.map(x => x: Any): _*)
+    val sigsNew = signatures.where(isNew)
+    val sigsOld = signatures.where(isOld)
+    val sigsAll = signatures.where(isNew || isOld)
+    def mhKeys(s: DataFrame) =
+      Lsh.minhashBandKeys(s.select("doc_id", "minhash"), cfg).select("doc_id", "key")
+    def shKeys(s: DataFrame) =
+      Lsh.simhashBandKeys(s.select("doc_id", "simhash"), cfg).select("doc_id", "key")
+    val mhc = Lsh.newVsAllCandidatePairs(
+        mhKeys(sigsNew), mhKeys(sigsOld), mhKeys(sigsAll), cfg.saltMaxBucket)
+      .localCheckpoint(false, ser)
+    val shc = Lsh.newVsAllCandidatePairs(
+        shKeys(sigsNew), shKeys(sigsOld), shKeys(sigsAll),
+        ExactSubstr.pairStarCap(cfg))
+      .localCheckpoint(false, ser)
+    val sub = ExactSubstr.substrDupPairsIncremental(
+        docs.where(isNew), docs.where(isOld), cfg, substrShards)
+      .localCheckpoint(false, ser)
+    // one union action: the three families overlap, counts gate the
+    // verify restriction — the full-build discipline at day scale
+    val famCounts = mhc.select(lit("mh").as("fam"))
+      .unionByName(shc.select(lit("sh").as("fam")))
+      .unionByName(sub.select(lit("sub").as("fam")))
+      .groupBy("fam").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
+    val mh = Lsh.verifyJaccard(
+      mhc, Lsh.restrictToCandidateDocs(
+        shingled.where(isNew || isOld).select("doc_id", "shingles"), mhc, 2 * nMh), cfg)
+    val sh = Lsh.verifyHamming(
+      shc, Lsh.restrictToCandidateDocs(
+        sigsAll.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
+    Lsh.dupPairs(mh, sh, sub)
+      .withColumn("warc_day", lit(d))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("warc_day").parquet(s"$root/dup_pairs")
+    val n = spark.read.parquet(s"$root/dup_pairs").where(isNew).count()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    Metrics.append(spark, root, runId, "dup_pairs_day", n, wallMs, resumed = false)
+    Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash, Seq(d -> n))
+    Seq(mhc, shc, sub).foreach { df =>
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -123,37 +123,11 @@ object StreamingDedup {
     val keysState = spark.read.parquet(s"$root/keys")
     val oldKeys = keysState.where(col("batch_id") =!= batchId).select("doc_id", "key")
     val allKeys = keysState.select("doc_id", "key")
-    // new × all bucket join (all includes new, so new-new pairs collide
-    // too); every emitted pair involves ≥1 new doc → no pair repeats
-    // across batches. Hot buckets (census over ALL members, same cap as
-    // batch) emit hub edges instead of the quadratic product: every new
-    // member to the bucket's global-min hub, plus hub-to-previous-hub
-    // when a new arrival takes over the minimum — connectivity matches
-    // the batch star lanes.
-    val cap = math.max(1, cfg.saltMaxBucket)
-    val hot = allKeys.groupBy("key").count().where(col("count") > cap).select("key")
-    val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
-    val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
-    val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
-      .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
-      .where(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-              greatest(col("x"), col("y")).as("b"))
-    val hubAll = allKeys.join(broadcast(hot), Seq("key"))
-      .groupBy("key").agg(min("doc_id").as("hub"))
-    val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
-      .groupBy("key").agg(min("doc_id").as("old_hub"))
-    val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
-      .join(hubAll, "key")
-      .where(col("doc_id") =!= col("hub"))
-      .select(col("hub").as("a"), col("doc_id").as("b"))
-    val hubChain = hubAll.join(hubOld, "key")
-      .where(col("hub") =!= col("old_hub"))
-      .select(col("hub").as("a"), col("old_hub").as("b"))
-    val cands = coldCands.unionByName(hotSpokes).unionByName(hubChain)
-      .select(least(col("a"), col("b")).as("a"),
-              greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // new × all bucket join with hot-hub discipline — the shared
+    // incremental operator (Lsh.newVsAllCandidatePairs): every emitted
+    // pair involves ≥1 new doc → no pair repeats across batches.
+    val cands = Lsh
+      .newVsAllCandidatePairs(newKeys, oldKeys, allKeys, cfg.saltMaxBucket)
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nCands = cands.count()
     verifiedNewPairs(spark, root, cands, nCands, cfg)

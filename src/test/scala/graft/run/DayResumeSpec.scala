@@ -84,6 +84,31 @@ class DayResumeSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/docs").count() === 160)
     assert(spark.table(Checkpoint.bucketedTableName(root, "shingled")).count() === 160)
 
+    // the pair stage itself went day-incremental: run2 processed exactly
+    // one pending day via the new×all path — it must NOT have rebuilt the
+    // full-corpus band_keys stage (the all×all input), and its lineage
+    // must mark exactly day 4 done on top of run1's three days
+    val run2m = Metrics.read(spark, root).where(col("run_id") === "run2")
+    assert(run2m.where(col("stage") === "dup_pairs_incremental_days")
+      .select("rows_out").as[Long].head() === 1L,
+      "run2 must append exactly one pending day of pairs")
+    assert(run2m.where(col("stage") === "band_keys").count() === 0,
+      "a day-append must not touch the full-corpus band_keys stage")
+    val dupDays = lin.where(col("stage") === "dup_pairs")
+    assert(dupDays.where(col("run_id") === "run2")
+      .select("warc_day").distinct().as[java.sql.Timestamp].collect().toSet === Set(days(3)))
+    assert(dupDays.select("warc_day").distinct().count() === 4,
+      "dup_pairs lineage must cover all four days")
+    // the day-4 partition holds only pairs involving >= 1 day-4 doc
+    val day4Docs = spark.read.parquet(s"$root/docs")
+      .where(col("warc_day") === lit(days(3))).select("doc_id")
+      .as[Long].collect().toSet
+    val day4Pairs = spark.read.parquet(s"$root/dup_pairs")
+      .where(col("warc_day") === lit(days(3)))
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(day4Pairs.forall(p => day4Docs.contains(p._1) || day4Docs.contains(p._2)),
+      "appended pairs must all involve a new-day doc (new×all discipline)")
+
     // parity: incremental result == from-scratch run on the full input
     val freshRoot = tmpRoot()
     val fresh = DedupMain.run(spark, in4, freshRoot, cfg, "fresh")

@@ -75,6 +75,28 @@ class PlanSpec extends SparkSuite {
     assert(scan.count() > 0)
   }
 
+  test("day-bucketed stage table prunes partitions under a day filter") {
+    // the local bucket(doc_id)×days(warc_day) managed table mirrors the
+    // prod Iceberg layout — a day predicate must reach PartitionFilters
+    // (file-level pruning), proving the Iceberg swap is pruning-compatible
+    val root = java.nio.file.Files.createTempDirectory("pprune").toString
+    val pages = PagesGen.pages(spark, 40, cfg).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(2)) * 86400L))
+    val docs = graft.run.DedupMain.toDocs(pages)
+    graft.run.Checkpoint.stageBucketedDays(
+      spark, root, "docs_p", cfg, "r1", 4, "doc_id")(docs)(identity)
+    val tbl = graft.run.Checkpoint.bucketedTableName(root, "docs_p")
+    val day = docs.select(col("warc_day").as("d"))
+      .distinct().orderBy("d").as[java.sql.Timestamp].head()
+    val scan = spark.table(tbl).where(col("warc_day") === lit(day)).select("doc_id")
+    val plan = physicalPlan(scan)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("warc_day"),
+      s"expected a pushed partition filter on the bucketed day table:\n$plan")
+    assert(scan.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle (co-located join layout)") {
     Seq("shingled_b", "sigs_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

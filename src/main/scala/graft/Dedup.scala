@@ -37,11 +37,12 @@ object Dedup {
     val mhc = Lsh.candidatePairs(Lsh.saltBandKeys(
         Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    // SimHash pair listing runs the star+chain cap (see Lsh.simhashDupPairs)
-    val shc = Lsh.candidatePairsStarred(
+    // SimHash pair listing runs the in-task verified-forest cap (see
+    // Lsh.hammingCappedPairs — clusters identical to uncapped)
+    val shc = Lsh.hammingCappedPairs(
         Lsh.saltBandKeys(
           Lsh.simhashBandKeys(simhashes, cfg, carryHash = true), cfg),
-        ExactSubstr.pairStarCap(cfg), "simhash")
+        ExactSubstr.pairStarCap(cfg), "simhash", cfg.hammingThreshold)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val sub = ExactSubstr.substrDupPairs(d, cfg)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)

@@ -181,63 +181,77 @@ object Lsh {
     pairs.groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
   }
 
-  /** J1 variant with a PAIR-LISTING star cap (the `pairListMaxClique`
-    * discipline ExactSubstr introduced, applied to banded LSH): buckets
-    * with more than `starCap` members emit, instead of the C(n,2) clique,
-    *  - a STAR to the bucket's minimum doc_id, plus
-    *  - a CHAIN of adjacent pairs in `orderCol` order (for the SimHash
-    *    family that is the fingerprint value, so chain neighbors are the
-    *    Hamming-closest members available — connectivity insurance when a
-    *    hub↔member edge fails the exact verify).
-    * Buckets at or below the cap keep the exact all-pairs listing. The
-    * salt lanes bound TASK size (`saltMaxBucket`); this bounds OUTPUT
-    * volume — at 960k docs the SimHash family's 2.38M verified pairs were
-    * mostly boilerplate cliques CC does not need (stars span them). The
-    * suppressed pairs are counted by `starredDropEstimate` — loud, never
-    * silent. Uniform per-(key, salt) census: hot lanes need no special
-    * case (a lane is just a bucket), and window partitions are bounded by
-    * saltMaxBucket so no window skew. */
-  def candidatePairsStarred(saltedKeys: DataFrame, starCap: Int,
-                            orderCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key", "salt")
-    val cols = Seq("key", "salt", "doc_id") ++
-      (if (orderCol == "doc_id") Nil else Seq(orderCol))
-    val withC = saltedKeys
-      .select(cols.map(col): _*)
-      .withColumn("c", count(lit(1)).over(w))
-    val small = withC.where(col("c") <= starCap)
-    val smallPairs = small.select(col("key"), col("salt"), col("doc_id").as("a"))
-      .join(small.select(col("key"), col("salt"), col("doc_id").as("b")),
-            Seq("key", "salt"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    val big = withC.where(col("c") > starCap)
-    val hubPairs = big.withColumn("m", min("doc_id").over(w))
-      .where(col("doc_id") =!= col("m"))
-      .select(col("m").as("a"), col("doc_id").as("b"))
-    val chainPairs = big
-      .withColumn("prev",
-        lag("doc_id", 1).over(w.orderBy(col(orderCol), col("doc_id"))))
-      .where(col("prev").isNotNull)
-      .select(col("prev").as("a"), col("doc_id").as("b"))
-    smallPairs.unionByName(hubPairs).unionByName(chainPairs)
-      .select(least(col("a"), col("b")).as("a"),
-              greatest(col("a"), col("b")).as("b"))
+  /** J1 variant with a PAIR-LISTING cap for the SimHash family (the
+    * `pairListMaxClique` discipline applied to banded LSH). Buckets at or
+    * below `starCap` keep the exact all-pairs candidate listing (verified
+    * downstream, unchanged semantics). Buckets ABOVE the cap — boilerplate
+    * cliques, the family's dominant output (measured 2.38M verified pairs
+    * at 960k docs, mostly redundant for CC) — are resolved IN-TASK: the
+    * bucket's members (≤ saltMaxBucket, so ≤ ~C(1000,2) popcounts — CPU
+    * only, no shuffle) are exact-Hamming-verified pairwise and a
+    * union-find SPANNING FOREST of the verified pairs is emitted. The
+    * forest preserves the verified subgraph's connectivity exactly, so
+    * global clusters are IDENTICAL to the uncapped clique enumeration —
+    * unlike hub/chain starring, whose unverified star edges can fail the
+    * exact check and split a cluster (observed: 240k clustered_docs
+    * 139,666 → 139,310 with fingerprint-ordered chains; the forest
+    * restores equality). Members are sorted by doc_id first, so the
+    * emitted forest is deterministic at any parallelism (the N-vs-4N
+    * invariant). Suppressed pairs (verified but redundant for
+    * connectivity) are counted EXACTLY into `suppressed` — loud, never
+    * silent. */
+  def hammingCappedPairs(saltedKeys: DataFrame, starCap: Int, hashCol: String,
+                         maxHamming: Int,
+                         suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = saltedKeys.sparkSession
+    import spark.implicits._
+    val rows = saltedKeys
+      .select(col("key"), col("salt").cast("int").as("salt"),
+              col("doc_id"), col(hashCol).as("h"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        if (ms.length < 2) Iterator.empty
+        else {
+          val sorted = ms.sortBy(_._3) // determinism across row order
+          val n = sorted.length
+          if (n <= starCap) {
+            for { i <- (0 until n).iterator; j <- (i + 1 until n).iterator }
+              yield (sorted(i)._3, sorted(j)._3)
+          } else {
+            val parent = Array.tabulate(n)(identity)
+            def find(x0: Int): Int = {
+              var x = x0
+              while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+              x
+            }
+            var passes = 0L
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+            var i = 0
+            while (i < n) {
+              var j = i + 1
+              while (j < n) {
+                if (java.lang.Long.bitCount(sorted(i)._4 ^ sorted(j)._4) <= maxHamming) {
+                  passes += 1
+                  val ri = find(i); val rj = find(j)
+                  if (ri != rj) {
+                    parent(math.max(ri, rj)) = math.min(ri, rj)
+                    out += ((sorted(i)._3, sorted(j)._3))
+                  }
+                }
+                j += 1
+              }
+              i += 1
+            }
+            suppressed.foreach(_.add(passes - out.length))
+            out.iterator
+          }
+        }
+      }
+      .toDF("a", "b")
       .groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
-  }
-
-  /** Pairs the starred listing suppresses, estimated: Σ over buckets of
-    * n > cap members of C(n,2) − 2(n−1) (star + chain emit ≤ 2(n−1) edges,
-    * so this slightly UNDER-counts the drop when star and chain edges
-    * coincide — an estimate, recorded as a metrics row, same contract as
-    * `saltedDropEstimate`). */
-  def starredDropEstimate(saltedKeys: DataFrame, starCap: Int): Long = {
-    val sizes = saltedKeys.groupBy("key", "salt").count()
-      .where(col("count") > starCap)
-      .select(col("count").cast("double").as("n"))
-    sizes.select(coalesce(sum(col("n") * (col("n") - 1) / 2 - (col("n") - 1) * 2),
-                          lit(0.0)))
-      .head().getDouble(0).toLong
   }
 
   /** Incremental new×all bucket candidates — the shared machinery of the
@@ -340,15 +354,16 @@ object Lsh {
   }
 
   /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming).
-    * Pair listing runs the `candidatePairsStarred` discipline at the
-    * pairListMaxClique cap, chain-ordered by fingerprint: C(6,3)=20 keys
-    * per doc make boilerplate cliques the family's heaviest output by far
-    * (measured 2.38M verified pairs at 960k docs, mostly redundant for
-    * CC), and the star+chain listing bounds it linearly per bucket. */
+    * Pair listing runs the `hammingCappedPairs` discipline at the
+    * pairListMaxClique cap: C(6,3)=20 keys per doc make boilerplate
+    * cliques the family's heaviest output by far, and the in-task
+    * verified forest bounds it linearly per bucket with clusters
+    * provably identical to the uncapped listing. */
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     val sims = simhashes(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(simhashBandKeys(sims, cfg, carryHash = true), cfg)
-    val cands = candidatePairsStarred(keys, ExactSubstr.pairStarCap(cfg), "simhash")
+    val cands = hammingCappedPairs(keys, ExactSubstr.pairStarCap(cfg),
+      "simhash", cfg.hammingThreshold)
     verifyHamming(cands, sims, cfg)
   }
 

@@ -149,6 +149,7 @@ object DedupMain {
     val dupDir = s"$root/dup_pairs"
     val prevDup = Checkpoint.readManifest(spark, root, "dup_pairs")
     val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
+    val simhashSuppressed = spark.sparkContext.longAccumulator("simhash_starcap_suppressed_pairs")
 
     /** Full-corpus three-family build → LAZY (a, b, family) plan. Builds
       * (or resumes) the band_keys stage it consumes and records the
@@ -175,12 +176,6 @@ object DedupMain {
           Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
           0L, resumed = false)
       }
-      // in-lane star+chain suppression of the simhash pair listing (the
-      // salting estimate above counts only CROSS-lane drops)
-      Metrics.append(spark, root, runId, "starcap_drop_est_simhash",
-        Lsh.starredDropEstimate(bandKeys.where(col("family") === "simhash"),
-          ExactSubstr.pairStarCap(cfg)),
-        0L, resumed = false)
       // is_hot MUST survive this projection: candidatePairs keys its
       // star-vs-clique discipline on it — dropping it would run the full
       // self-join over hot salt lanes (quadratic boilerplate blowup) and
@@ -188,12 +183,14 @@ object DedupMain {
       val mhc = Lsh.candidatePairs(bandKeys.where(col("family") === "minhash")
           .select("doc_id", "key", "salt", "is_hot"))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      // simhash pair listing runs the star+chain cap (Lsh.simhashDupPairs
-      // rationale), chain-ordered by the carried fingerprint
-      val shc = Lsh.candidatePairsStarred(
+      // simhash pair listing runs the in-task verified-forest cap
+      // (Lsh.hammingCappedPairs — clusters identical to uncapped); the
+      // suppressed-pair count is EXACT, recorded after the stage action
+      val shc = Lsh.hammingCappedPairs(
           bandKeys.where(col("family") === "simhash")
             .select("doc_id", "key", "salt", "simhash"),
-          ExactSubstr.pairStarCap(cfg), "simhash")
+          ExactSubstr.pairStarCap(cfg), "simhash", cfg.hammingThreshold,
+          Some(simhashSuppressed))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -221,6 +218,10 @@ object DedupMain {
       Metrics.append(spark, root, runId, "substr_shards", substrShards.toLong, 0L, resumed = false)
       Metrics.append(spark, root, runId, "substr_starcap_dropped_pairs",
         substrDropped.value, 0L, resumed = false)
+      // exact (task-counted) redundant-for-connectivity verified pairs the
+      // simhash forest suppressed — loud cap, never silent
+      Metrics.append(spark, root, runId, "simhash_starcap_suppressed_pairs",
+        simhashSuppressed.value, 0L, resumed = false)
     }
 
     val inDays: Seq[java.sql.Timestamp] =

@@ -384,12 +384,24 @@ object DedupMain {
       Lsh.minhashBandKeys(s.select("doc_id", "minhash"), cfg).select("doc_id", "key")
     def shKeys(s: DataFrame) =
       Lsh.simhashBandKeys(s.select("doc_id", "simhash"), cfg).select("doc_id", "key")
+    // band each side ONCE (checkpointed); `all` is the union of the two
+    // block sets, not a third banding pass over the whole corpus — the
+    // census/cold/hub legs of the new×all join all read the same blocks
+    val mhNewK = mhKeys(sigsNew).localCheckpoint(false, ser)
+    val mhOldK = mhKeys(sigsOld).localCheckpoint(false, ser)
+    val shNewK = shKeys(sigsNew).localCheckpoint(false, ser)
+    val shOldK = shKeys(sigsOld).localCheckpoint(false, ser)
+    // cap = saltMaxBucket for BOTH families: below it the new×all listing
+    // is exact (same connectivity as the batch path's cold buckets — a
+    // pairStarCap hub star here split clusters at 240k: unverified hub
+    // edges can fail the exact check, the lesson hammingCappedPairs
+    // already taught the batch path); above it, hub stars match the batch
+    // hot-lane semantics
     val mhc = Lsh.newVsAllCandidatePairs(
-        mhKeys(sigsNew), mhKeys(sigsOld), mhKeys(sigsAll), cfg.saltMaxBucket)
+        mhNewK, mhOldK, mhNewK.unionByName(mhOldK), cfg.saltMaxBucket)
       .localCheckpoint(false, ser)
     val shc = Lsh.newVsAllCandidatePairs(
-        shKeys(sigsNew), shKeys(sigsOld), shKeys(sigsAll),
-        ExactSubstr.pairStarCap(cfg))
+        shNewK, shOldK, shNewK.unionByName(shOldK), cfg.saltMaxBucket)
       .localCheckpoint(false, ser)
     val sub = ExactSubstr.substrDupPairsIncremental(
         docs.where(isNew), docs.where(isOld), cfg, substrShards)
@@ -417,7 +429,7 @@ object DedupMain {
     val wallMs = (System.nanoTime() - t0) / 1000000L
     Metrics.append(spark, root, runId, "dup_pairs_day", n, wallMs, resumed = false)
     Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash, Seq(d -> n))
-    Seq(mhc, shc, sub).foreach { df =>
+    Seq(mhNewK, mhOldK, shNewK, shOldK, mhc, shc, sub).foreach { df =>
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))

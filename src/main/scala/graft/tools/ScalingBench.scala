@@ -185,6 +185,73 @@ object ScalingBench {
         s""""docs_per_sec":${n / best},"clustered_docs":$clustered}""")
       spark.stop(); return
     }
+    // day-append evidence mode: the corpus's natural warc_ts span (~11
+    // synthetic days at 960k: the generator spaces docs 1 s apart) drives
+    // the REAL DedupMain day machinery. Protocol: full run on all days but
+    // the last, then the append run (one new day: new×all candidates +
+    // touched SA shards + incremental CC), then a from-scratch run on
+    // everything — append wall vs from-scratch wall is the feature's
+    // headline number, and the cluster assignments must be BIT-IDENTICAL
+    // (xor-hash compared).
+    if (sys.env.contains("SPARK_GRAFT_APPEND")) {
+      import org.apache.spark.sql.functions.{bit_xor, col, count, date_trunc, lit, max, xxhash64}
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val all = spark.read.parquet(corpus)
+      val nDays = all.select(date_trunc("day", col("warc_ts"))).distinct().count()
+      require(nDays >= 2, s"append mode needs a multi-day corpus " +
+        s"(1 s doc spacing ⇒ ≥ ~173k docs); $corpus spans $nDays day(s)")
+      val lastDay = all.select(date_trunc("day", col("warc_ts")).as("d"))
+        .agg(max("d")).head().getTimestamp(0)
+      val headPath = s"$localDir/graft_append_head_$n"
+      if (!new java.io.File(headPath + "/_SUCCESS").exists())
+        all.where(date_trunc("day", col("warc_ts")) < lit(lastDay))
+          .write.mode("overwrite").parquet(headPath)
+      def timed(label: String)(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val w = (System.nanoTime() - t0) / 1e9
+        dropAllBlocks()
+        println(f"  $label%-14s wall=$w%8.1fs clustered=$rows")
+        (w, rows)
+      }
+      def clusterHash(root: String): Long =
+        spark.read.parquet(s"$root/clusters")
+          .agg(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), count(lit(1)))
+          .head().getLong(0)
+      val aRoot = s"$localDir/graft_append_root_$n"
+      val fRoot = s"$localDir/graft_full_root_$n"
+      Seq(aRoot, fRoot).foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(r), true)
+        // bucketed stage tables live in the warehouse dir, not under the
+        // root — a stale LOCATION from a previous JVM blocks saveAsTable
+        Seq("shingled", "signatures").foreach { st =>
+          val tbl = graft.run.Checkpoint.bucketedTableName(r, st)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$localDir/warehouse/$tbl"), true)
+        }
+      }
+      val (wHead, _) = timed("head(d1..k-1)") {
+        DedupMain.run(spark, headPath, aRoot, cfg, "head").count()
+      }
+      val (wAppend, cAppend) = timed("append(+dk)") {
+        DedupMain.run(spark, corpus, aRoot, cfg, "append").count()
+      }
+      graft.run.Metrics.read(spark, aRoot)
+        .where(col("run_id") === "append").orderBy("ts").collect()
+        .foreach(r => println(f"  append-stage ${r.getAs[String]("stage")}%-28s " +
+          f"rows=${r.getAs[Long]("rows_out")}%10d wall=${r.getAs[Long]("wall_ms") / 1000.0}%7.1fs " +
+          f"resumed=${r.getAs[Boolean]("resumed")}"))
+      val (wFull, cFull) = timed("fromscratch") {
+        DedupMain.run(spark, corpus, fRoot, cfg, "full").count()
+      }
+      val identical = clusterHash(aRoot) == clusterHash(fRoot) && cAppend == cFull
+      println(s"""{"bench":"day-append","docs":$n,"cpus":$cpus,""" +
+        s""""head_sec":$wHead,"append_sec":$wAppend,"full_sec":$wFull,""" +
+        s""""speedup":${wFull / wAppend},"clustered_docs":$cAppend,""" +
+        s""""clusters_identical":$identical}""")
+      spark.stop(); return
+    }
+
     if (!sys.env.contains("SPARK_GRAFT_NOWARM")) { pipelineCount(); dropAllBlocks() }
     var clustered = 0L
     val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>

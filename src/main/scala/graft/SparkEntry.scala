@@ -231,6 +231,16 @@ object SparkEntry {
       d.join(drop, Seq("doc_id"), "left_anti").select("doc_id").orderBy("doc_id")
     }),
 
+    // quality-aware dedup (training-data policy): every cluster keeps its
+    // LONGEST member (min doc_id tie-break), singletons pass through —
+    // MinHash-family form so the DuckDB oracle can replicate it exactly.
+    "q33_dedupe_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val asg = ConnectedComponents.assign(Lsh.minhashDupPairs(d, cfg))
+      graft.Dedup.keepBest(d, asg, octet_length(col("text")).cast("long"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -353,6 +363,27 @@ object SparkEntry {
     "q26_shingle_card" ->
       (s"WITH sh AS ($shingleSetsSql) " +
         "SELECT count(DISTINCT x) AS n_exact FROM (SELECT unnest(s) AS x FROM sh)"),
+    "q33_dedupe_quality" ->
+      s"""WITH RECURSIVE sh AS ($shingleSetsSql),
+         |pairs AS (SELECT a, b FROM ($brutePairsSql)),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+         |scored AS (SELECT d.doc_id, cl.cluster_id,
+         |                  octet_length(CAST(d.text AS BLOB)) AS q
+         |           FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+         |keep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT d.doc_id AS doc_id FROM documents d
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM keep)
+         |ORDER BY d.doc_id""".stripMargin,
     "q30_substr_containment" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,

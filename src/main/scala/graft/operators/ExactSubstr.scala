@@ -157,7 +157,12 @@ object ExactSubstr {
       .as[(Long, Long, Int)]
     val counted = dropped match {
       case Some(acc) => censusRows.mapPartitions { it =>
-        it.map { case r @ (_, n, s) => acc.add(n * (n - 1) / 2 - (n - s)); r }
+        // double arithmetic: n·(n−1)/2 overflows Long for grams with more
+        // than ~4.3e9 entries (real at the 10^12-doc target); doubles
+        // degrade gracefully, same as Lsh.saltedDropEstimate
+        it.map { case r @ (_, n, s) =>
+          acc.add(math.max(0L, (n.toDouble * (n - 1) / 2 - (n - s)).toLong)); r
+        }
       }
       case None => censusRows
     }
@@ -198,11 +203,33 @@ object ExactSubstr {
     * each NEW entry to the global-min (doc, off) witness plus a
     * hub-to-previous-hub chain edge — never the quadratic product. */
   def newVsAllGramCandidates(newGrams: DataFrame, oldGrams: DataFrame,
-                             cfg: DedupConfig): DataFrame = {
+                             cfg: DedupConfig,
+                             dropped: Option[LongAccumulator] = None): DataFrame = {
+    val spark = newGrams.sparkSession
+    import spark.implicits._
     val cap = math.max(1, pairStarCap(cfg))
     val gAll = newGrams.unionByName(oldGrams)
-    val hot = gAll.groupBy("gram").count()
-      .where(col("count") > cap).select("gram")
+    val hotCounts = gAll.groupBy("gram").count().where(col("count") > cap)
+    val hotBase = dropped match {
+      case Some(acc) =>
+        // loud-cap accounting (estimate): a hot gram with n entries, m of
+        // them new, has ~m·(n−m) + C(m,2) candidate entry-pairs involving
+        // a new entry; the star emits ~m spokes. Task-side update on the
+        // checkpoint lineage — no eager census job.
+        hotCounts
+          .join(newGrams.groupBy("gram").agg(count(lit(1)).as("mnew")), Seq("gram"), "left")
+          .select(col("gram"), col("count"), coalesce(col("mnew"), lit(0L)).as("mnew"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case r @ (_, n, m) =>
+              val cands = m.toDouble * (n - m) + m.toDouble * (m - 1) / 2
+              acc.add(math.max(0L, (cands - m).toLong))
+              r
+            }
+          }.toDF("gram", "count", "mnew")
+      case None => hotCounts
+    }
+    val hot = hotBase.select("gram")
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // canonical (a < b) pair with the witness offsets on the right sides
     def canon(xd: org.apache.spark.sql.Column, xo: org.apache.spark.sql.Column,
@@ -255,10 +282,12 @@ object ExactSubstr {
     * cost: touched shards ≈ S·(1−e^(−newDocs/S)) of the corpus — linear
     * co-partition work, never a quadratic candidate join. */
   def substrDupPairsIncremental(docsNew: DataFrame, docsOld: DataFrame,
-                                cfg: DedupConfig, numShards: Int): DataFrame = {
+                                cfg: DedupConfig, numShards: Int,
+                                droppedPairs: Option[LongAccumulator] = None)
+      : DataFrame = {
     val grNew = gramIndex(docsNew, cfg).toDF()
     val grOld = gramIndex(docsOld, cfg).toDF()
-    val cands = newVsAllGramCandidates(grNew, grOld, cfg)
+    val cands = newVsAllGramCandidates(grNew, grOld, cfg, droppedPairs)
     val allTexts = docsNew.select("doc_id", "text")
       .unionByName(docsOld.select("doc_id", "text"))
     val gramRoute = verifyExtend(cands, allTexts, cfg).toDF()
@@ -268,6 +297,11 @@ object ExactSubstr {
     val flagged = docsNew.select(col("doc_id"), col("text"), lit(true).as("is_new"))
       .unionByName(docsOld.select(col("doc_id"), col("text"), lit(false).as("is_new")))
     val scoped = flagged.join(broadcast(touched), shardOf === col("s"), "left_semi")
+    // deliberately NO droppedPairs here: the capped-group accounting in
+    // shardRepeats counts crossDocPairs() − emitted, and in a re-scanned
+    // shard the old↔old pairs (suppressed by the is_new flag because they
+    // are ALREADY STORED, not dropped) would massively overcount; the
+    // gram-route census above carries the day's loud-cap estimate
     val shardRoute = shardRepeats(scoped, cfg, Some(numShards)).toDF()
     gramRoute.unionByName(shardRoute)
       .groupBy("a", "b")

@@ -93,7 +93,13 @@ object Lsh {
              xxhash64((lit(ci) +: blockIdx.map(block)): _*).as("key"))
     }
     val carried = if (carryHash) Seq(col(hashCol)) else Seq.empty
-    hashes
+    // Null fingerprints (null-text docs — SimHash64 is null-safe) must not
+    // bucket: xxhash64 skips null inputs, so they would otherwise all
+    // collide on the per-combo constant keys — a quadratic null-bucket of
+    // never-verifiable candidates (and a null-pointer crash in the typed
+    // in-task forest). Callers pass materialized fingerprint tables, so
+    // this filter never re-evaluates a computed chain.
+    hashes.where(col(hashCol).isNotNull)
       .select((Seq(col("doc_id"), explode(array(entries: _*)).as("e")) ++ carried): _*)
       .select((Seq(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
         ++ carried): _*)
@@ -265,9 +271,39 @@ object Lsh {
     * takes over the minimum — instead of the quadratic product:
     * connectivity matches the batch star lanes. */
   def newVsAllCandidatePairs(newKeys: DataFrame, oldKeys: DataFrame,
-                             allKeys: DataFrame, cap: Int): DataFrame = {
-    val capped = math.max(1, cap)
-    val hot = allKeys.groupBy("key").count().where(col("count") > capped).select("key")
+                             allKeys: DataFrame, cap: Int,
+                             suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    // cap <= 0 means UNCAPPED — the saltMaxBucket convention everywhere
+    // else (saltBandKeys, pairStarCap, candidatePairsStream); max(1, cap)
+    // would invert it into "star every bucket" with unverified hub edges
+    val capped = if (cap <= 0) Int.MaxValue else cap
+    val spark = allKeys.sparkSession
+    import spark.implicits._
+    val hotCounts = allKeys.groupBy("key").count().where(col("count") > capped)
+    val hot = suppressed match {
+      case Some(acc) =>
+        // loud-cap accounting (estimate, same contract as
+        // saltedDropEstimate): a hot bucket of n members with m new ones
+        // has ~m·(n−m) + C(m,2) candidate pairs involving a new doc; the
+        // hub star emits ~m edges. Rides the checkpoint lineage as a
+        // task-side update — fills at the caller's materializing action.
+        val withNew = hotCounts
+          .join(newKeys.groupBy("key").agg(count(lit(1)).as("nnew")), Seq("key"), "left")
+          .select(col("key"), col("count"),
+                  coalesce(col("nnew"), lit(0L)).as("nnew"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case r @ (_, n, m) =>
+              val cands = m.toDouble * (n - m) + m.toDouble * (m - 1) / 2
+              acc.add(math.max(0L, (cands - m).toLong))
+              r
+            }
+          }
+        withNew.toDF("key", "count", "nnew").select("key")
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      case None => hotCounts.select("key")
+    }
     val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
     val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
     val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))

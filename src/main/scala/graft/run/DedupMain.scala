@@ -3,6 +3,7 @@ package graft.run
 import graft.DedupConfig
 import graft.functions.Fns
 import graft.operators.{ConnectedComponents, ExactSubstr, Lsh}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -269,11 +270,20 @@ object DedupMain {
         val prevShards = prevKeyInfo.map(_._2)
         val shardsFit = prevShards.exists(s =>
           totalTextBytes <= 2L * s * ExactSubstr.TargetShardBytes)
+        // torn-dir gate: a state-3 full Overwrite that crashed mid-write
+        // leaves a partial dup_pairs dir while OLDER per-day lineage (same
+        // bare configHash) survives — appending onto it would silently
+        // lose the old days' pairs. _SUCCESS only exists after a completed
+        // job commit (a torn per-day dynamic overwrite keeps the previous
+        // commit's marker AND its partial files invisible in _temporary),
+        // so requiring it forces the full rebuild exactly when needed.
+        val fsForDir = new Path(dupDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dupDirCommitted = fsForDir.exists(new Path(s"$dupDir/_SUCCESS"))
         if (prevKeyInfo.exists(_._1 == docsRows)) {
           Metrics.append(spark, root, runId, "dup_pairs",
             prevDup.get.rowCount, 0L, resumed = true)
           spark.read.parquet(dupDir)
-        } else if (prevKeyInfo.isDefined && shardsFit &&
+        } else if (prevKeyInfo.isDefined && shardsFit && dupDirCommitted &&
                    doneDays.nonEmpty && doneDays.subsetOf(inDays.toSet)) {
           val t0 = System.nanoTime()
           var ctx = inDays.filter(doneDays.contains)
@@ -333,13 +343,25 @@ object DedupMain {
       // crashed predecessor (pairs appended, clusters stale) parses as a
       // smaller covered set and still rebuilds from exactly the missing
       // days' pairs.
+      // raw epoch MILLIS per day, not /86400000: the division assumes UTC
+      // midnights, and a non-UTC session's local midnights would truncate
+      // to the wrong day — the incremental branch would then silently
+      // never trigger (the parse could not reconstruct the real
+      // timestamps). Raw millis round-trip identically in any timezone.
       def dayListKey(days: Seq[java.sql.Timestamp]): String =
-        "pair_days=" + days.map(_.getTime / 86400000L).sorted.mkString("+")
+        "pair_days=" + days.map(_.getTime).sorted.mkString("+")
+      // torn-dir gate, same rationale as dup_pairs: a clusters Overwrite
+      // that crashed mid-write leaves no _SUCCESS — reading the partial
+      // dir as the previous assignment would silently drop components
+      val clustersCommitted = new Path(s"$root/clusters/_SUCCESS")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new Path(s"$root/clusters/_SUCCESS"))
       val prevCovered: Option[Set[java.sql.Timestamp]] =
         Checkpoint.readManifest(spark, root, "clusters").map(_.configHash)
+          .filter(_ => clustersCommitted)
           .filter(_.startsWith(s"${cfg.configHash}:pair_days="))
           .map(_.split("pair_days=")(1).split("\\+").filter(_.nonEmpty)
-            .map(s => new java.sql.Timestamp(s.toLong * 86400000L)).toSet)
+            .map(s => new java.sql.Timestamp(s.toLong)).toSet)
       Checkpoint.stage(spark, root, "clusters", cfg, runId, dayListKey(inDays)) {
         prevCovered match {
           case Some(cov) if cov.nonEmpty && cov.subsetOf(inDays.toSet) =>
@@ -375,6 +397,9 @@ object DedupMain {
                              d: java.sql.Timestamp, substrShards: Int): Unit = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val t0 = System.nanoTime()
+    // loud-cap accounting for the appended day (estimates, counted by the
+    // hot censuses of all three routes — never silent)
+    val daySuppressed = spark.sparkContext.longAccumulator("append_suppressed_pairs")
     val isNew = col("warc_day") === lit(d)
     val isOld = col("warc_day").isin(ctxDays.map(x => x: Any): _*)
     val sigsNew = signatures.where(isNew)
@@ -398,13 +423,16 @@ object DedupMain {
     // already taught the batch path); above it, hub stars match the batch
     // hot-lane semantics
     val mhc = Lsh.newVsAllCandidatePairs(
-        mhNewK, mhOldK, mhNewK.unionByName(mhOldK), cfg.saltMaxBucket)
+        mhNewK, mhOldK, mhNewK.unionByName(mhOldK), cfg.saltMaxBucket,
+        Some(daySuppressed))
       .localCheckpoint(false, ser)
     val shc = Lsh.newVsAllCandidatePairs(
-        shNewK, shOldK, shNewK.unionByName(shOldK), cfg.saltMaxBucket)
+        shNewK, shOldK, shNewK.unionByName(shOldK), cfg.saltMaxBucket,
+        Some(daySuppressed))
       .localCheckpoint(false, ser)
     val sub = ExactSubstr.substrDupPairsIncremental(
-        docs.where(isNew), docs.where(isOld), cfg, substrShards)
+        docs.where(isNew), docs.where(isOld), cfg, substrShards,
+        Some(daySuppressed))
       .localCheckpoint(false, ser)
     // one union action: the three families overlap, counts gate the
     // verify restriction — the full-build discipline at day scale
@@ -428,6 +456,8 @@ object DedupMain {
     val n = spark.read.parquet(s"$root/dup_pairs").where(isNew).count()
     val wallMs = (System.nanoTime() - t0) / 1000000L
     Metrics.append(spark, root, runId, "dup_pairs_day", n, wallMs, resumed = false)
+    Metrics.append(spark, root, runId, "append_suppressed_pairs_day",
+      daySuppressed.value, 0L, resumed = false)
     Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash, Seq(d -> n))
     Seq(mhNewK, mhOldK, shNewK, shOldK, mhc, shc, sub).foreach { df =>
       df.queryExecution.analyzed.collectFirst {

@@ -52,7 +52,14 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((band, key), rows, state: GroupState[BucketState]) =>
           val prev = state.getOption.getOrElse(BucketState(Array.emptyLongArray, 0L))
-          val existing = prev.members // sorted ascending (state invariant)
+          val existing = prev.members
+          // enforce the sorted invariant on LOAD, not just on store: state
+          // restored from a checkpoint written by the pre-r4 List-based
+          // BucketState deserializes in prepend order (List and Array both
+          // encode as ArrayType(Long)), and binarySearch on unsorted data
+          // would silently re-admit seen docs. Sorting a sorted array is a
+          // cheap no-op pass.
+          java.util.Arrays.sort(existing)
           val incoming = rows.map(_.doc_id).toSeq.distinct
             .filter(d => java.util.Arrays.binarySearch(existing, d) < 0)
           val cap = if (cfg.saltMaxBucket > 0) cfg.saltMaxBucket else Int.MaxValue

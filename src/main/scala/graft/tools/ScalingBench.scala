@@ -191,10 +191,11 @@ object ScalingBench {
     // the last, then the append run (one new day: new×all candidates +
     // touched SA shards + incremental CC), then a from-scratch run on
     // everything — append wall vs from-scratch wall is the feature's
-    // headline number, and the cluster assignments must be BIT-IDENTICAL
-    // (xor-hash compared).
+    // headline number, and the cluster partitions are diffed label-free
+    // (docs only in one run + common docs whose partition disagrees; a
+    // bounded hot-bucket delta is REPORTED, cold structure must be exact).
     if (sys.env.contains("SPARK_GRAFT_APPEND")) {
-      import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, date_trunc, lit, max, xxhash64}
+      import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max}
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val all = spark.read.parquet(corpus)
       val nDays = all.select(date_trunc("day", col("warc_ts"))).distinct().count()

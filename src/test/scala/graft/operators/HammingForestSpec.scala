@@ -95,6 +95,20 @@ class HammingForestSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("null-text docs neither bucket nor crash the simhash family") {
+    // SimHash64 is null-safe → null fingerprints; they must be filtered
+    // before banding (they would otherwise collide on per-combo constant
+    // keys AND null-crash the typed in-task forest)
+    val cfg = graft.DedupConfig.test
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text + " tail"), (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+    val out = Lsh.simhashDupPairs(docs, cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)),
+      "near-identical pair found; null-text docs excluded without error")
+  }
+
   test("suppressed-pair accounting is exact: passes − forest edges, per capped bucket") {
     val df = fixture(404L, buckets = 15, maxMembers = 10)
     val acc = spark.sparkContext.longAccumulator("suppressed")

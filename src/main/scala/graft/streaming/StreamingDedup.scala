@@ -115,29 +115,57 @@ object StreamingDedup {
       .start()
 
   /** One micro-batch of the bridge (public so the replay-idempotence test
-    * can re-deliver a batch exactly as the streaming engine would). */
+    * can re-deliver a batch exactly as the streaming engine would). Runs
+    * BOTH banded families: MinHash (shingle state + Jaccard verify) and
+    * SimHash (fingerprint state + Hamming verify), each through the shared
+    * new×all operator, their verified pairs family-tagged into the same
+    * per-batch pair partition. */
   def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig, root: String): Unit = {
     val spark = batch.sparkSession
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sh = Lsh.shingled(batch, cfg).localCheckpoint()
+    val sims = Lsh.simhashes(batch, cfg).localCheckpoint()
     val newKeys = Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg)
+      .select("doc_id", "key").localCheckpoint()
+    val newKeysSh = Lsh.simhashBandKeys(sims, cfg)
       .select("doc_id", "key").localCheckpoint()
     // idempotent state append: this batch owns its partition directory
     sh.write.mode("overwrite").parquet(s"$root/shingled/batch_id=$batchId")
+    sims.write.mode("overwrite").parquet(s"$root/simhashes/batch_id=$batchId")
     newKeys.write.mode("overwrite").parquet(s"$root/keys/batch_id=$batchId")
+    newKeysSh.write.mode("overwrite").parquet(s"$root/keys_sh/batch_id=$batchId")
     // partition discovery exposes batch_id; prior batches = all but this one
     // (NOT "all minus newKeys": on a replay the state already contains this
     // batch's rows, and filtering by batch_id keeps the old/new split exact)
-    val keysState = spark.read.parquet(s"$root/keys")
-    val oldKeys = keysState.where(col("batch_id") =!= batchId).select("doc_id", "key")
-    val allKeys = keysState.select("doc_id", "key")
-    // new × all bucket join with hot-hub discipline — the shared
+    def splitState(dir: String): (DataFrame, DataFrame) = {
+      val st = spark.read.parquet(s"$root/$dir")
+      (st.where(col("batch_id") =!= batchId).select("doc_id", "key"),
+       st.select("doc_id", "key"))
+    }
+    // new × all bucket joins with hot-hub discipline — the shared
     // incremental operator (Lsh.newVsAllCandidatePairs): every emitted
     // pair involves ≥1 new doc → no pair repeats across batches.
+    val (oldKeys, allKeys) = splitState("keys")
+    val (oldKeysSh, allKeysSh) = splitState("keys_sh")
     val cands = Lsh
       .newVsAllCandidatePairs(newKeys, oldKeys, allKeys, cfg.saltMaxBucket)
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nCands = cands.count()
-    verifiedNewPairs(spark, root, cands, nCands, cfg)
+      .localCheckpoint(false, ser)
+    val candsSh = Lsh
+      .newVsAllCandidatePairs(newKeysSh, oldKeysSh, allKeysSh, cfg.saltMaxBucket)
+      .localCheckpoint(false, ser)
+    // one union action materializes both candidate checkpoints (the
+    // families overlap across the pool — the batch paths' discipline) and
+    // yields the counts gating the verify restrictions
+    val famCounts = cands.select(lit("mh").as("fam"))
+      .unionByName(candsSh.select(lit("sh").as("fam")))
+      .groupBy("fam").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    verifiedNewPairs(spark, root, cands, famCounts.getOrElse("mh", 0L), cfg)
+      .withColumn("family", lit("minhash"))
+      .unionByName(
+        verifiedNewPairsHamming(spark, root, candsSh,
+          famCounts.getOrElse("sh", 0L), cfg)
+          .withColumn("family", lit("simhash")))
       .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$batchId")
     // Incremental CC over the CONTRACTED history: the previous committed
     // snapshot's (doc_id, cluster_id) rows are a spanning star of every
@@ -161,7 +189,7 @@ object StreamingDedup {
     // now durably written — without explicit unpersist a long-running stream
     // piles one set of executor blocks per micro-batch until the
     // ContextCleaner happens to notice (the CC round-lifecycle lesson).
-    Seq(sh, newKeys, cands).foreach(unpersistCheckpoint)
+    Seq(sh, sims, newKeys, newKeysSh, cands, candsSh).foreach(unpersistCheckpoint)
   }
 
   /** RDD blocks behind a localCheckpoint'd DataFrame, released. */
@@ -184,6 +212,17 @@ object StreamingDedup {
       spark.read.parquet(s"$root/shingled").select("doc_id", "shingles"),
       cands, 2 * nCands)
     Lsh.verifyJaccard(cands, allSh, cfg).select("a", "b")
+  }
+
+  /** SimHash analog of `verifiedNewPairs`: exact Hamming against the
+    * candidate-restricted accumulated fingerprint state. */
+  private[streaming] def verifiedNewPairsHamming(spark: org.apache.spark.sql.SparkSession,
+                                                 root: String, cands: DataFrame,
+                                                 nCands: Long, cfg: DedupConfig): DataFrame = {
+    val allSims = Lsh.restrictToCandidateDocs(
+      spark.read.parquet(s"$root/simhashes").select("doc_id", "simhash"),
+      cands, 2 * nCands)
+    Lsh.verifyHamming(cands, allSims, cfg).select("a", "b")
   }
 
   /** batch_ids with a fully-committed (_SUCCESS) snapshot under `dir`. */

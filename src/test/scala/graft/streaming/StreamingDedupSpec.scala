@@ -52,8 +52,12 @@ class StreamingDedupSpec extends SparkSuite {
       }
       val streamed = StreamingDedup.latestClusters(spark, root)
         .as[(Long, Long)].collect().toSet
-      val batch = graft.operators.ConnectedComponents.assign(
-        Lsh.minhashDupPairs(PagesGen.docs(spark, n, cfg).toDF(), cfg))
+      // the bridge runs BOTH banded families — batch reference is CC over
+      // the union of their verified pairs
+      val d = PagesGen.docs(spark, n, cfg).toDF()
+      val batchPairs = Lsh.minhashDupPairs(d, cfg).select("a", "b")
+        .unionByName(Lsh.simhashDupPairs(d, cfg).select("a", "b"))
+      val batch = graft.operators.ConnectedComponents.assign(batchPairs)
         .as[(Long, Long)].collect().toSet
       assert(streamed === batch,
         s"extra=${streamed -- batch} missing=${batch -- streamed}")
@@ -71,18 +75,19 @@ class StreamingDedupSpec extends SparkSuite {
     val b1 = docs.where(col("doc_id") % 2 === 1)
     StreamingDedup.processBatch(b0, 0L, cfg, root)
     StreamingDedup.processBatch(b1, 1L, cfg, root)
-    def state(): (Long, Long, Long, Set[(Long, Long)]) = (
-      spark.read.parquet(s"$root/shingled").count(),
-      spark.read.parquet(s"$root/keys").count(),
-      spark.read.parquet(s"$root/pairs").count(),
+    def state(): (Seq[Long], Set[(Long, Long)]) = (
+      Seq("shingled", "simhashes", "keys", "keys_sh", "pairs")
+        .map(dir => spark.read.parquet(s"$root/$dir").count()),
       StreamingDedup.latestClusters(spark, root).as[(Long, Long)].collect().toSet)
     val once = state()
     StreamingDedup.processBatch(b1, 1L, cfg, root) // the replay
     assert(state() === once)
     // and the snapshot still equals the batch pipeline on the full corpus
-    val batchClusters = graft.operators.ConnectedComponents.assign(
-      Lsh.minhashDupPairs(docs, cfg)).as[(Long, Long)].collect().toSet
-    assert(once._4 === batchClusters)
+    val batchPairs = Lsh.minhashDupPairs(docs, cfg).select("a", "b")
+      .unionByName(Lsh.simhashDupPairs(docs, cfg).select("a", "b"))
+    val batchClusters = graft.operators.ConnectedComponents.assign(batchPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(once._2 === batchClusters)
   }
 
   test("bridge verify join is candidate-restricted against accumulated shingle state") {

@@ -122,6 +122,35 @@ class DayResumeSpec extends SparkSuite {
       "no-change rerun must resume every stage")
   }
 
+  test("multi-day append: two pending days process in order, parity with from-scratch") {
+    // days 1-2 built first, then days 3 AND 4 appended in ONE run: the
+    // pending loop must process them oldest-first with a growing context
+    // (day-3↔day-4 pairs are generated when day 4 runs, day 3 then being
+    // part of "all") and still reproduce the from-scratch clusters.
+    val pages = PagesGen.pages(spark, 160, cfg).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(4)) * 86400L))
+    val days = pages.select(date_trunc("day", col("warc_ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    val in2 = tmpRoot() + "/in2.parquet"
+    val in4 = tmpRoot() + "/in4.parquet"
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(2))).write.parquet(in2)
+    pages.write.parquet(in4)
+    val root = tmpRoot()
+    DedupMain.run(spark, in2, root, cfg, "base").count()
+    val appended = DedupMain.run(spark, in4, root, cfg, "app2")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(Metrics.read(spark, root)
+      .where(col("run_id") === "app2" && col("stage") === "dup_pairs_incremental_days")
+      .select("rows_out").as[Long].head() === 2L,
+      "both pending days must go through the incremental path")
+    val freshRoot = tmpRoot()
+    val fresh = DedupMain.run(spark, in4, freshRoot, cfg, "fresh2")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(appended === fresh, "two-day append must equal the from-scratch clusters")
+  }
+
   test("day-incremental stages refuse null warc_day rows loudly") {
     // a null crawl day is invisible to day-granular resume: after the first
     // build such rows would never be pending again and would silently drop

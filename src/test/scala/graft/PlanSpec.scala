@@ -141,6 +141,18 @@ class PlanSpec extends SparkSuite {
       s"expected broadcast left-semi candidate restriction:\n$plan")
   }
 
+  test("quality-dedup winner selection has no per-cluster window") {
+    // keepBest picks each cluster's winner via a partial-aggregating
+    // max(struct) groupBy — a row_number window over cluster_id would put
+    // a mega-cluster on one task (same skew rule as the clusters table)
+    val docs = Seq((1L, "aa"), (2L, "bbb"), (3L, "c")).toDF("doc_id", "text")
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val plan = physicalPlan(
+      Dedup.keepBest(docs, asg, octet_length(col("text")).cast("long")))
+    assert(!plan.contains("Window"),
+      s"winner selection must not use a per-cluster window:\n$plan")
+  }
+
   test("cluster table has no per-cluster window (mega-cluster skew-safe)") {
     // a web-scale boilerplate component lands its whole `partition by
     // cluster_id` window on ONE task and AQE cannot split window skew —

@@ -44,21 +44,27 @@ object Bench {
     // JVM/page-cache warmup on the smallest query, excluded from timings
     try SparkEntry.queries("q01_doc_stats")(spark, sfDir).count() catch { case _: Throwable => }
 
+    // min-of-k per query (SPARK_GRAFT_REPS, default 2): single-rep walls
+    // measure host weather as much as code — min-of-k is the standard
+    // noise-robust throughput protocol (BENCH/BASELINE.md)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     // a failed query must NOT masquerade as an ordinary timing: record -1
     // for it and list it under "errors" in the JSON
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val sec = time { try fn(spark, sfDir).count() catch { case _: Throwable => failed = true } }
+      val sec = (1 to reps).map { _ =>
+        time { try fn(spark, sfDir).count() catch { case _: Throwable => failed = true } }
+      }.min
       if (failed) errors += name
       name -> (if (failed) -1.0 else sec)
     }
 
     // headline: full EAC pipeline (all 3 families -> clusters), docs/sec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val pipelineSec = time {
-      SparkEntry.queries("q22_eac_clusters")(spark, sfDir).count()
-    }
+    val pipelineSec = (1 to reps).map { _ =>
+      time { SparkEntry.queries("q22_eac_clusters")(spark, sfDir).count() }
+    }.min
     val docsPerSec = docs / pipelineSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

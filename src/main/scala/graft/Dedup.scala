@@ -38,11 +38,11 @@ object Dedup {
         Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // SimHash pair listing runs the in-task verified-forest cap (see
-    // Lsh.hammingCappedPairs — clusters identical to uncapped)
-    val shc = Lsh.hammingCappedPairs(
+    // Lsh.hammingCappedPairs — clusters identical to uncapped); with
+    // salting disabled the join listing runs instead (task-memory bound)
+    val shc = Lsh.simhashCandidatePairs(
         Lsh.saltBandKeys(
-          Lsh.simhashBandKeys(simhashes, cfg, carryHash = true), cfg),
-        ExactSubstr.pairStarCap(cfg), "simhash", cfg.hammingThreshold)
+          Lsh.simhashBandKeys(simhashes, cfg, carryHash = true), cfg), cfg)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val sub = ExactSubstr.substrDupPairs(d, cfg)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)

@@ -268,10 +268,11 @@ object ConnectedComponents {
     * boilerplate component (10^7–10^9 members after evidence accumulation)
     * would land its whole partition on ONE task, and AQE does not split
     * window skew. Instead:
-    *  - `is_canonical` is exactly `doc_id === cluster_id` — the `assign`
-    *    contract makes cluster_id the component's minimum member doc_id,
-    *    so the canonical row is the one whose doc_id IS the cluster_id
-    *    (a codegen'd comparison, no shuffle at all);
+    *  - `is_canonical` compares each row against the per-cluster
+    *    `min(doc_id)` computed IN THE SAME partial-aggregating groupBy as
+    *    the size — correct for ARBITRARY cluster labels (not only the
+    *    `assign` convention where cluster_id is itself the min member),
+    *    at zero extra shuffle;
     *  - `cluster_size` is a partial-aggregating groupBy joined back on
     *    cluster_id. No broadcast hint: the size table is one row per
     *    cluster (can itself be huge), so AQE picks broadcast when it is
@@ -280,9 +281,9 @@ object ConnectedComponents {
     *    handle — unlike the window. */
   def clusters(assignment: DataFrame): DataFrame = {
     val sizes = assignment.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
+      .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("_mn"))
     assignment.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-              (col("doc_id") === col("cluster_id")).as("is_canonical"))
+              (col("doc_id") === col("_mn")).as("is_canonical"))
   }
 }

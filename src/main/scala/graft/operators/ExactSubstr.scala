@@ -516,14 +516,26 @@ object ExactSubstr {
             // can still split off pairs it shares with non-adjacent short
             // members — such residual drops are part of the COUNTED
             // suppression below, never silent.
+            //
+            // Each SA-adjacent chain edge is attempted AT MOST ONCE per
+            // group: consecutive members both failing their hub edge would
+            // otherwise record edge (i−1, i) twice — same args, so the
+            // second attempt can only double-count `emitted` (deflating the
+            // loud-cap suppression below) or re-fail the same filters.
+            val chainTried = new Array[Boolean](math.max(1, g - 1))
+            def chainEdge(j: Int): Boolean =
+              j >= 0 && j < g - 1 && !chainTried(j) && {
+                chainTried(j) = true
+                record(gDocs(j), gDocs(j + 1), gLcps(j))
+              }
             var minL = Int.MaxValue
             i = h + 1
             while (i < g) {
               minL = math.min(minL, gLcps(i - 1))
               if (record(gDocs(h), gDocs(i), minL)) emitted += 1
               else {
-                if (record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
-                if (i + 1 < g && record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
+                if (chainEdge(i - 1)) emitted += 1
+                if (chainEdge(i)) emitted += 1
               }
               i += 1
             }
@@ -533,8 +545,8 @@ object ExactSubstr {
               minL = math.min(minL, gLcps(i))
               if (record(gDocs(h), gDocs(i), minL)) emitted += 1
               else {
-                if (record(gDocs(i), gDocs(i + 1), gLcps(i))) emitted += 1
-                if (i - 1 >= 0 && record(gDocs(i - 1), gDocs(i), gLcps(i - 1))) emitted += 1
+                if (chainEdge(i)) emitted += 1
+                if (chainEdge(i - 1)) emitted += 1
               }
               i -= 1
             }

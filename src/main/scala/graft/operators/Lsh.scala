@@ -50,8 +50,13 @@ object Lsh {
     val keys = transform(
       sequence(lit(0), lit(cfg.bands - 1)),
       i => xxhash64(i, slice(col("minhash"), i * lit(cfg.rows) + lit(1), lit(cfg.rows))))
+    // non-signature input columns (warc_day on the staged path) pass
+    // through — banding is a per-row generator; callers prune what they
+    // don't need
+    val carried = signatures.columns
+      .filterNot(c => c == "doc_id" || c == "minhash").map(col).toSeq
     signatures
-      .select(col("doc_id"), posexplode(keys))
+      .select((col("doc_id") +: carried :+ posexplode(keys)): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
   }
 
@@ -92,7 +97,10 @@ object Lsh {
       struct(lit(ci).as("band"),
              xxhash64((lit(ci) +: blockIdx.map(block)): _*).as("key"))
     }
-    val carried = if (carryHash) Seq(col(hashCol)) else Seq.empty
+    // the fingerprint (when carryHash) plus any non-signature input columns
+    // (warc_day on the staged path) pass through
+    val carried = (if (carryHash) Seq(col(hashCol)) else Seq.empty[org.apache.spark.sql.Column]) ++
+      hashes.columns.filterNot(c => c == "doc_id" || c == hashCol).map(col)
     // Null fingerprints (null-text docs — SimHash64 is null-safe) must not
     // bucket: xxhash64 skips null inputs, so they would otherwise all
     // collide on the per-combo constant keys — a quadratic null-bucket of
@@ -113,12 +121,18 @@ object Lsh {
     * in its other bands); the drop is *logged, never silent*:
     * `saltedDropEstimate` quantifies it. AQE skew-join splitting remains the
     * runtime backstop. */
-  def saltBandKeys(bandKeys: DataFrame, cfg: DedupConfig): DataFrame = {
+  def saltBandKeys(bandKeys: DataFrame, cfg: DedupConfig,
+                   materialized: Boolean = false): DataFrame = {
     if (cfg.saltMaxBucket <= 0) return bandKeys.withColumn("salt", lit(0))
     // input is reused by the census AND the main join below — materialize
     // once (lineage-truncating block cache) instead of recomputing the
-    // whole scan→shingle→signature→banding chain twice
-    val bk = bandKeys.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // whole scan→shingle→signature→banding chain twice. `materialized`:
+    // the input is already a durable table (the persisted band_keys
+    // stage) — re-scanning it beats caching corpus×52 rows in executor
+    // memory, so skip the checkpoint.
+    val bk =
+      if (materialized) bandKeys
+      else bandKeys.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the key encodes its band (B1/B2), so the census groups on ONE long
     val hot = bk.groupBy("key").count()
       .where(col("count") > cfg.saltMaxBucket)
@@ -262,24 +276,43 @@ object Lsh {
 
   /** Incremental new×all bucket candidates — the shared machinery of the
     * streaming foreachBatch bridge AND DedupMain's day-append path. Inputs
-    * are (doc_id, key) band-key tables with `allKeys` = `oldKeys` ∪
-    * `newKeys`; the bucket join runs new×all (all includes new, so new-new
-    * pairs collide too), so every emitted pair involves ≥1 new doc and no
-    * pair is ever produced twice across increments. Hot buckets (census
-    * over ALL members, > cap) emit hub stars — every new member to the
-    * bucket's global-min hub, plus hub-to-previous-hub when a new arrival
-    * takes over the minimum — instead of the quadratic product:
+    * are (doc_id, key) band-key tables; the bucket join runs new×(old∪new)
+    * (new-new pairs collide too), so every emitted pair involves ≥1 new doc
+    * and no pair is ever produced twice across increments. Hot buckets
+    * (census over ALL members, > cap) emit hub stars — every new member to
+    * the bucket's global-min hub, plus hub-to-previous-hub when a new
+    * arrival takes over the minimum — instead of the quadratic product:
     * connectivity matches the batch star lanes. */
-  def newVsAllCandidatePairs(newKeys: DataFrame, oldKeys: DataFrame,
-                             allKeys: DataFrame, cap: Int,
+  def newVsAllCandidatePairs(newKeys: DataFrame, oldKeys: DataFrame, cap: Int,
                              suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    newVsAllRawCandidates(newKeys, oldKeys, cap, suppressed).distinct()
+
+  /** The pre-distinct listing behind `newVsAllCandidatePairs` (the distinct
+    * collapses multi-band collisions of the SAME pair — inherent). Within
+    * one bucket no pair row is ever produced twice: new↔old pairs are
+    * emitted from the new side only, and new↔new pairs under `x < y` — the
+    * previous `x =!= y` + canonicalize form shipped every new↔new pair in
+    * BOTH orientations into the distinct's shuffle, a 2× transient on the
+    * append path (spec-asserted duplicate-free on single-key fixtures). */
+  private[graft] def newVsAllRawCandidates(newKeys: DataFrame, oldKeys: DataFrame,
+                                           cap: Int,
+                                           suppressed: Option[org.apache.spark.util.LongAccumulator])
       : DataFrame = {
     // cap <= 0 means UNCAPPED — the saltMaxBucket convention everywhere
     // else (saltBandKeys, pairStarCap, candidatePairsStream); max(1, cap)
     // would invert it into "star every bucket" with unverified hub edges
     val capped = if (cap <= 0) Int.MaxValue else cap
-    val spark = allKeys.sparkSession
+    val spark = newKeys.sparkSession
     import spark.implicits._
+    // the union IS new ∪ old at every call site (day-append unions the two
+    // banded sides; the streaming bridge's state table equals old ∪ this
+    // batch's appended rows) — derived here with a side tag so the cold
+    // leg can orient new↔new pairs once
+    val allKeys = newKeys.select(col("doc_id"), col("key"))
+      .withColumn("is_new", lit(true))
+      .unionByName(oldKeys.select(col("doc_id"), col("key"))
+        .withColumn("is_new", lit(false)))
     val hotCounts = allKeys.groupBy("key").count().where(col("count") > capped)
     val hot = suppressed match {
       case Some(acc) =>
@@ -307,8 +340,10 @@ object Lsh {
     val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
     val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
     val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
-      .join(coldAll.select(col("key"), col("doc_id").as("y")), "key")
-      .where(col("x") =!= col("y"))
+      .join(coldAll.select(col("key"), col("doc_id").as("y"), col("is_new")), "key")
+      // new↔old from the new side only (any orientation — ids are disjoint
+      // across sides); new↔new once, via x < y
+      .where((col("x") < col("y")) || (!col("is_new") && col("x") =!= col("y")))
       .select(least(col("x"), col("y")).as("a"),
               greatest(col("x"), col("y")).as("b"))
     val hubAll = allKeys.join(broadcast(hot), Seq("key"))
@@ -325,8 +360,23 @@ object Lsh {
     coldCands.unionByName(hotSpokes).unionByName(hubChain)
       .select(least(col("a"), col("b")).as("a"),
               greatest(col("a"), col("b")).as("b"))
-      .distinct()
   }
+
+  /** SimHash pair listing with the `saltMaxBucket <= 0` guard: the in-task
+    * verified forest (`hammingCappedPairs`) materializes each (key, salt)
+    * group into ONE task's memory, which is bounded only because salting
+    * splits every bucket to ≤ ~saltMaxBucket members — with salting
+    * disabled a boilerplate mega-bucket would land unbounded on a single
+    * task. In that configuration the join-based listing (AQE
+    * skew-splittable) runs instead; its candidates are downstream-verified
+    * as always, so the output contract is unchanged. */
+  def simhashCandidatePairs(saltedKeys: DataFrame, cfg: DedupConfig,
+                            suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    if (cfg.saltMaxBucket > 0)
+      hammingCappedPairs(saltedKeys, ExactSubstr.pairStarCap(cfg), "simhash",
+        cfg.hammingThreshold, suppressed)
+    else candidatePairs(saltedKeys.drop("simhash"))
 
   /** Restrict a per-doc table to docs that appear in at least one candidate
     * pair — the verify joins then shuffle only candidate docs' rows instead
@@ -398,9 +448,7 @@ object Lsh {
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     val sims = simhashes(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(simhashBandKeys(sims, cfg, carryHash = true), cfg)
-    val cands = hammingCappedPairs(keys, ExactSubstr.pairStarCap(cfg),
-      "simhash", cfg.hammingThreshold)
-    verifyHamming(cands, sims, cfg)
+    verifyHamming(simhashCandidatePairs(keys, cfg), sims, cfg)
   }
 
   /** V3 — evidence accumulation [FredJain05]: union of verified pair

@@ -303,23 +303,29 @@ object Lineage {
   def append(spark: SparkSession, root: String, runId: String, stageName: String,
              configHash: String, df: DataFrame): Unit = {
     val hasDay = df.columns.contains("warc_day")
-    val keyed =
-      if (hasDay)
-        df.groupBy(col("warc_day")).agg(count(lit(1)).as("rows"))
-          .select(dense_rank().over(
-                    org.apache.spark.sql.expressions.Window.orderBy("warc_day"))
-                    .cast("int").as("input_partition"),
-                  col("warc_day"), col("rows"))
-      else
-        df.groupBy(spark_partition_id().as("input_partition"))
-          .agg(count(lit(1)).as("rows"))
-          .withColumn("warc_day", lit(null).cast("timestamp"))
-    keyed
-      .select(lit(runId).as("run_id"), lit(stageName).as("stage"),
-              col("input_partition"), col("warc_day"), col("rows"),
-              lit(configHash).as("config_hash"), lit("ok").as("status"))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+    if (hasDay) {
+      // per-day counts collected and ranked DRIVER-side: one row per crawl
+      // day (tiny by construction), and the previous dense_rank over an
+      // UNPARTITIONED window funneled the (one-row-per-day) aggregate
+      // through a single global-sort task — the only WindowExec in the
+      // pipeline, gone for free
+      val dayRows = df.groupBy(col("warc_day")).agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+        // null day (a day-less input routed through a warc_day-carrying
+        // schema) sorts first; doneDays ignores null-day rows downstream
+        .sortBy(t => Option(t._1).map(_.getTime).getOrElse(Long.MinValue))
+      appendDays(spark, root, runId, stageName, configHash, dayRows.toSeq)
+    } else {
+      df.groupBy(spark_partition_id().as("input_partition"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("warc_day", lit(null).cast("timestamp"))
+        .select(lit(runId).as("run_id"), lit(stageName).as("stage"),
+                col("input_partition"), col("warc_day"), col("rows"),
+                lit(configHash).as("config_hash"), lit("ok").as("status"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+    }
   }
 
   def read(spark: SparkSession, root: String): DataFrame =

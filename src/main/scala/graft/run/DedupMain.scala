@@ -134,6 +134,48 @@ object DedupMain {
     // into their resume keys so stale reuse is impossible
     val docsRows = Checkpoint.readManifest(spark, root, "docs").map(_.rowCount).getOrElse(-1L)
     val inputKey = s"docs_rows=$docsRows"
+
+    /** Raw (unsalted) per-doc band keys for BOTH banded families — the
+      * persisted band_keys stage's content: (doc_id, key, family, simhash
+      * [, warc_day]). sh rows carry the fingerprint (+8 B/row) for the
+      * in-task verified-forest listing; mh rows carry a null. Salting /
+      * hot-census is NOT stored: it is a census over the whole corpus
+      * (which every append would invalidate), recomputed at listing time
+      * from the materialized key table — one pruned groupBy, no
+      * re-derivation. Day-granular inputs carry warc_day through (the
+      * band-key builders pass non-signature columns through), so the stage
+      * partitions by crawl day and a day-append bands ONLY pending days. */
+    def rawBandKeys(sigs: DataFrame): DataFrame = {
+      val carry =
+        if (sigs.columns.contains("warc_day")) Seq(col("warc_day")) else Nil
+      val mh = Lsh.minhashBandKeys(
+          sigs.select((col("doc_id") +: col("minhash") +: carry): _*), cfg)
+        .select((Seq(col("doc_id"), col("key")) ++ carry): _*)
+        .withColumn("family", lit("minhash"))
+        .withColumn("simhash", lit(null).cast("long"))
+      val sh = Lsh.simhashBandKeys(
+          sigs.select((col("doc_id") +: col("simhash") +: carry): _*), cfg,
+          carryHash = true)
+        .select((Seq(col("doc_id"), col("key"), col("simhash")) ++ carry): _*)
+        .withColumn("family", lit("simhash"))
+      mh.unionByName(sh)
+    }
+    // Day-granular: band_keys is a DAY-INCREMENTAL stage bucketed by KEY
+    // (warc_day partitions × bucket(n, key) — the census groupBy and every
+    // bucket join on `key` read it Exchange-free on this heavy side). The
+    // r4 append path re-derived the OLD corpus's keys from signatures on
+    // every appended day — corpus×52 posexplode + shuffles + a corpus-key
+    // block cache, measured ~80% of the append wall; now the old side is a
+    // partition-pruned scan of this stage and only pending days are banded.
+    val bandKeysDay: Option[DataFrame] =
+      if (dayGranular)
+        Some(Checkpoint.stageBucketedDays(spark, root, "band_keys", cfg, runId,
+            buckets, "key")(signatures) { sigs =>
+          // align writer tasks with the bucket spec: one file per bucket
+          // per day, not one per task per bucket
+          rawBandKeys(sigs).repartition(buckets, col("key"))
+        })
+      else None
     // Substring sharding scales with corpus bytes (determinism: a pure
     // function of input content, not parallelism — ExactSubstr.shardsFor is
     // the single source of truth shared with the Dedup facade/SparkEntry).
@@ -152,46 +194,46 @@ object DedupMain {
     val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
     val simhashSuppressed = spark.sparkContext.longAccumulator("simhash_starcap_suppressed_pairs")
 
-    /** Full-corpus three-family build → LAZY (a, b, family) plan. Builds
-      * (or resumes) the band_keys stage it consumes and records the
-      * loud-cap drop estimates (Lsh.saltedDropEstimate contract). */
+    /** Full-corpus three-family build → LAZY (a, b, family) plan. Consumes
+      * the persisted raw band_keys stage (building it when absent), salts
+      * at listing time, and records the loud-cap drop estimates
+      * (Lsh.saltedDropEstimate contract). */
     def buildAllPairs(): DataFrame = {
-      val bandKeys = Checkpoint.stage(spark, root, "band_keys", cfg, runId, inputKey) {
-        // the band index is folded into `key` (Lsh.minhashBandKeys /
-        // simhashBandKeys), so the bucket identity downstream is
-        // (key, salt). The sh rows carry the fingerprint (+8 B/row) — the
-        // starred pair listing chain-orders hot buckets by it; mh rows
-        // carry a null.
-        val mh = Lsh.saltBandKeys(
-          Lsh.minhashBandKeys(signatures.select("doc_id", "minhash"), cfg), cfg)
-          .withColumn("family", lit("minhash"))
-          .withColumn("simhash", lit(null).cast("long"))
-        val sh = Lsh.saltBandKeys(
-          Lsh.simhashBandKeys(signatures.select("doc_id", "simhash"), cfg,
-            carryHash = true), cfg)
-          .withColumn("family", lit("simhash"))
-        mh.unionByName(sh)
-      }
+      // the band index is folded into `key` (Lsh.minhashBandKeys /
+      // simhashBandKeys), so the bucket identity downstream is (key, salt).
+      // fmt=2: the day-less stage now stores RAW keys (salt applied on
+      // read) — folding the format into the resume key makes an old-format
+      // root recompute instead of failing on the changed schema.
+      val rawKeys = bandKeysDay.getOrElse(
+        Checkpoint.stage(spark, root, "band_keys", cfg, runId,
+          s"$inputKey;fmt=2")(rawBandKeys(signatures)))
       Seq("minhash", "simhash").foreach { fam =>
         Metrics.append(spark, root, runId, s"salted_drop_est_$fam",
-          Lsh.saltedDropEstimate(bandKeys.where(col("family") === fam), cfg),
+          Lsh.saltedDropEstimate(rawKeys.where(col("family") === fam), cfg),
           0L, resumed = false)
       }
-      // is_hot MUST survive this projection: candidatePairs keys its
-      // star-vs-clique discipline on it — dropping it would run the full
-      // self-join over hot salt lanes (quadratic boilerplate blowup) and
-      // diverge from the Dedup facade at the same configHash.
-      val mhc = Lsh.candidatePairs(bandKeys.where(col("family") === "minhash")
-          .select("doc_id", "key", "salt", "is_hot"))
+      val mhSalted = Lsh.saltBandKeys(
+        rawKeys.where(col("family") === "minhash").select("doc_id", "key"),
+        cfg, materialized = true)
+      // is_hot MUST survive into candidatePairs: it keys the star-vs-clique
+      // discipline — dropping it would run the full self-join over hot salt
+      // lanes (quadratic boilerplate blowup) and diverge from the Dedup
+      // facade at the same configHash. (Absent only when salting is off.)
+      val mhCols = Seq("doc_id", "key", "salt") ++
+        (if (mhSalted.columns.contains("is_hot")) Seq("is_hot") else Nil)
+      val mhc = Lsh.candidatePairs(mhSalted.select(mhCols.map(col): _*))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // simhash pair listing runs the in-task verified-forest cap
-      // (Lsh.hammingCappedPairs — clusters identical to uncapped); the
-      // suppressed-pair count is EXACT, recorded after the stage action
-      val shc = Lsh.hammingCappedPairs(
-          bandKeys.where(col("family") === "simhash")
+      // (Lsh.hammingCappedPairs — clusters identical to uncapped; join
+      // listing when salting is off); the suppressed-pair count is EXACT,
+      // recorded after the stage action
+      val shc = Lsh.simhashCandidatePairs(
+          Lsh.saltBandKeys(
+            rawKeys.where(col("family") === "simhash")
+              .select("doc_id", "key", "simhash"),
+            cfg, materialized = true)
             .select("doc_id", "key", "salt", "simhash"),
-          ExactSubstr.pairStarCap(cfg), "simhash", cfg.hammingThreshold,
-          Some(simhashSuppressed))
+          cfg, Some(simhashSuppressed))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sub = ExactSubstr.substrDupPairs(docs, cfg, Some(substrShards), Some(substrDropped))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -289,7 +331,7 @@ object DedupMain {
           var ctx = inDays.filter(doneDays.contains)
           pending.foreach { d =>
             appendDayPairs(spark, root, runId, cfg, docs, shingled, signatures,
-              ctx, d, prevShards.get)
+              bandKeysDay.get, ctx, d, prevShards.get)
             ctx = ctx :+ d
           }
           val out = spark.read.parquet(dupDir)
@@ -384,15 +426,17 @@ object DedupMain {
   }
 
   /** One pending crawl day of the incremental pair build: new×all
-    * candidates per family (minhash/simhash band keys via
-    * `Lsh.newVsAllCandidatePairs`, substring via the gram new×all route +
-    * new-docs suffix-array shards), verify joins candidate-restricted, and
-    * the day's pairs written into their own partition with dynamic
-    * overwrite — a torn day is recomputed and overwrites itself, never
-    * double-appends. Lineage marks the day done under the bare configHash. */
+    * candidates per family (minhash/simhash band keys read from the
+    * PERSISTED band_keys stage — partition-pruned scans, zero key
+    * re-derivation for the old corpus; substring via the gram new×all
+    * route + new-docs suffix-array shards), verify joins
+    * candidate-restricted, and the day's pairs written into their own
+    * partition with dynamic overwrite — a torn day is recomputed and
+    * overwrites itself, never double-appends. Lineage marks the day done
+    * under the bare configHash. */
   private def appendDayPairs(spark: SparkSession, root: String, runId: String,
                              cfg: DedupConfig, docs: DataFrame, shingled: DataFrame,
-                             signatures: DataFrame,
+                             signatures: DataFrame, bandKeys: DataFrame,
                              ctxDays: Seq[java.sql.Timestamp],
                              d: java.sql.Timestamp, substrShards: Int): Unit = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -402,20 +446,13 @@ object DedupMain {
     val daySuppressed = spark.sparkContext.longAccumulator("append_suppressed_pairs")
     val isNew = col("warc_day") === lit(d)
     val isOld = col("warc_day").isin(ctxDays.map(x => x: Any): _*)
-    val sigsNew = signatures.where(isNew)
-    val sigsOld = signatures.where(isOld)
     val sigsAll = signatures.where(isNew || isOld)
-    def mhKeys(s: DataFrame) =
-      Lsh.minhashBandKeys(s.select("doc_id", "minhash"), cfg).select("doc_id", "key")
-    def shKeys(s: DataFrame) =
-      Lsh.simhashBandKeys(s.select("doc_id", "simhash"), cfg).select("doc_id", "key")
-    // band each side ONCE (checkpointed); `all` is the union of the two
-    // block sets, not a third banding pass over the whole corpus — the
-    // census/cold/hub legs of the new×all join all read the same blocks
-    val mhNewK = mhKeys(sigsNew).localCheckpoint(false, ser)
-    val mhOldK = mhKeys(sigsOld).localCheckpoint(false, ser)
-    val shNewK = shKeys(sigsNew).localCheckpoint(false, ser)
-    val shOldK = shKeys(sigsOld).localCheckpoint(false, ser)
+    // band keys come from storage on BOTH sides (r4 re-derived and block-
+    // cached corpus×52 keys from signatures per appended day — measured
+    // ~80% of the append wall); each leg of the new×all operator re-scans
+    // the day-pruned, key-bucketed table instead of caching it
+    def keys(side: org.apache.spark.sql.Column, fam: String) =
+      bandKeys.where(side && col("family") === fam).select("doc_id", "key")
     // cap = saltMaxBucket for BOTH families: below it the new×all listing
     // is exact (same connectivity as the batch path's cold buckets — a
     // pairStarCap hub star here split clusters at 240k: unverified hub
@@ -423,11 +460,11 @@ object DedupMain {
     // already taught the batch path); above it, hub stars match the batch
     // hot-lane semantics
     val mhc = Lsh.newVsAllCandidatePairs(
-        mhNewK, mhOldK, mhNewK.unionByName(mhOldK), cfg.saltMaxBucket,
+        keys(isNew, "minhash"), keys(isOld, "minhash"), cfg.saltMaxBucket,
         Some(daySuppressed))
       .localCheckpoint(false, ser)
     val shc = Lsh.newVsAllCandidatePairs(
-        shNewK, shOldK, shNewK.unionByName(shOldK), cfg.saltMaxBucket,
+        keys(isNew, "simhash"), keys(isOld, "simhash"), cfg.saltMaxBucket,
         Some(daySuppressed))
       .localCheckpoint(false, ser)
     val sub = ExactSubstr.substrDupPairsIncremental(
@@ -459,7 +496,7 @@ object DedupMain {
     Metrics.append(spark, root, runId, "append_suppressed_pairs_day",
       daySuppressed.value, 0L, resumed = false)
     Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash, Seq(d -> n))
-    Seq(mhNewK, mhOldK, shNewK, shOldK, mhc, shc, sub).foreach { df =>
+    Seq(mhc, shc, sub).foreach { df =>
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))

@@ -137,21 +137,18 @@ object StreamingDedup {
     // partition discovery exposes batch_id; prior batches = all but this one
     // (NOT "all minus newKeys": on a replay the state already contains this
     // batch's rows, and filtering by batch_id keeps the old/new split exact)
-    def splitState(dir: String): (DataFrame, DataFrame) = {
-      val st = spark.read.parquet(s"$root/$dir")
-      (st.where(col("batch_id") =!= batchId).select("doc_id", "key"),
-       st.select("doc_id", "key"))
-    }
+    def oldState(dir: String): DataFrame =
+      spark.read.parquet(s"$root/$dir")
+        .where(col("batch_id") =!= batchId).select("doc_id", "key")
     // new × all bucket joins with hot-hub discipline — the shared
-    // incremental operator (Lsh.newVsAllCandidatePairs): every emitted
-    // pair involves ≥1 new doc → no pair repeats across batches.
-    val (oldKeys, allKeys) = splitState("keys")
-    val (oldKeysSh, allKeysSh) = splitState("keys_sh")
+    // incremental operator (Lsh.newVsAllCandidatePairs, which derives
+    // all = new ∪ old internally): every emitted pair involves ≥1 new doc
+    // → no pair repeats across batches.
     val cands = Lsh
-      .newVsAllCandidatePairs(newKeys, oldKeys, allKeys, cfg.saltMaxBucket)
+      .newVsAllCandidatePairs(newKeys, oldState("keys"), cfg.saltMaxBucket)
       .localCheckpoint(false, ser)
     val candsSh = Lsh
-      .newVsAllCandidatePairs(newKeysSh, oldKeysSh, allKeysSh, cfg.saltMaxBucket)
+      .newVsAllCandidatePairs(newKeysSh, oldState("keys_sh"), cfg.saltMaxBucket)
       .localCheckpoint(false, ser)
     // one union action materializes both candidate checkpoints (the
     // families overlap across the pool — the batch paths' discipline) and

@@ -32,9 +32,16 @@ class NewVsAllSpec extends SparkSuite {
     incs.foreach { inc =>
       val newK = inc.toDF("doc_id", "key")
       val oldK = old.toDF("doc_id", "key")
-      val allK = (old ++ inc).toDF("doc_id", "key")
-      val emitted = Lsh.newVsAllCandidatePairs(newK, oldK, allK, cap = 1000)
+      // pre-distinct cold listing carries NO duplicate rows on this
+      // single-key-per-pair fixture: new↔old emitted from the new side
+      // only, new↔new once via x < y (the 2×-transient fix)
+      val raw = Lsh.newVsAllRawCandidates(newK, oldK, cap = 1000, None)
+        .as[(Long, Long)].collect()
+      assert(raw.length === raw.distinct.length,
+        "pre-distinct new×all listing must not duplicate any pair row")
+      val emitted = Lsh.newVsAllCandidatePairs(newK, oldK, cap = 1000)
         .as[(Long, Long)].collect().toSet
+      assert(emitted === raw.toSet)
       assert((seen intersect emitted).isEmpty,
         "a pair must never be produced twice across increments")
       seen ++= emitted
@@ -54,21 +61,19 @@ class NewVsAllSpec extends SparkSuite {
     val cap = 10
     val e1 = Lsh.newVsAllCandidatePairs(
         first.toDF("doc_id", "key"), Seq.empty[(Long, Long)].toDF("doc_id", "key"),
-        first.toDF("doc_id", "key"), cap)
+        cap)
       .as[(Long, Long)].collect().toSet
     // increment 1: star to the global min (doc 0)
     assert(e1 === (1L until 50L).map(i => (0L, i)).toSet)
     val e2 = Lsh.newVsAllCandidatePairs(
-        second.toDF("doc_id", "key"), first.toDF("doc_id", "key"),
-        (first ++ second).toDF("doc_id", "key"), cap)
+        second.toDF("doc_id", "key"), first.toDF("doc_id", "key"), cap)
       .as[(Long, Long)].collect().toSet
     // increment 2: new members spoke to the (unchanged) hub; no old↔old
     assert(e2 === (50L until 100L).map(i => (0L, i)).toSet)
     // a new arrival that TAKES OVER the minimum chains to the old hub
     val taker = Seq((-5L, 7L))
     val e3 = Lsh.newVsAllCandidatePairs(
-        taker.toDF("doc_id", "key"), (first ++ second).toDF("doc_id", "key"),
-        (first ++ second ++ taker).toDF("doc_id", "key"), cap)
+        taker.toDF("doc_id", "key"), (first ++ second).toDF("doc_id", "key"), cap)
       .as[(Long, Long)].collect().toSet
     assert(e3.contains((-5L, 0L)), "new hub must chain to the previous hub")
     assert(e3.size <= 2, s"hub takeover must stay linear, got ${e3.size} pairs")

@@ -72,7 +72,7 @@ class DayResumeSpec extends SparkSuite {
 
     // per-stage lineage: run2 added exactly day 4 to each incremental stage
     val lin = Lineage.read(spark, root).where(col("config_hash") === cfg.configHash)
-    Seq("docs", "shingled", "signatures").foreach { st =>
+    Seq("docs", "shingled", "signatures", "band_keys").foreach { st =>
       val run2Days = lin.where(col("stage") === st && col("run_id") === "run2")
         .select("warc_day").distinct().as[java.sql.Timestamp].collect().toSet
       assert(run2Days === Set(days(3)), s"stage $st must recompute only day 4, got $run2Days")
@@ -85,15 +85,21 @@ class DayResumeSpec extends SparkSuite {
     assert(spark.table(Checkpoint.bucketedTableName(root, "shingled")).count() === 160)
 
     // the pair stage itself went day-incremental: run2 processed exactly
-    // one pending day via the new×all path — it must NOT have rebuilt the
-    // full-corpus band_keys stage (the all×all input), and its lineage
-    // must mark exactly day 4 done on top of run1's three days
+    // one pending day via the new×all path — and the PERSISTED band_keys
+    // stage banded ONLY the pending day (rows_out of its non-resumed
+    // metrics row == the day-4 partition of the key table), the old
+    // corpus's keys being read from storage, never re-derived
     val run2m = Metrics.read(spark, root).where(col("run_id") === "run2")
     assert(run2m.where(col("stage") === "dup_pairs_incremental_days")
       .select("rows_out").as[Long].head() === 1L,
       "run2 must append exactly one pending day of pairs")
-    assert(run2m.where(col("stage") === "band_keys").count() === 0,
-      "a day-append must not touch the full-corpus band_keys stage")
+    val bkTable = spark.table(Checkpoint.bucketedTableName(root, "band_keys"))
+    val bkAppended = run2m.where(col("stage") === "band_keys" && !col("resumed"))
+      .select("rows_out").as[Long].head()
+    assert(bkAppended === bkTable.where(col("warc_day") === lit(days(3))).count(),
+      "the append run must derive band keys ONLY for the pending day")
+    assert(bkAppended < bkTable.count(),
+      "the key table must still carry the prior days' keys")
     val dupDays = lin.where(col("stage") === "dup_pairs")
     assert(dupDays.where(col("run_id") === "run2")
       .select("warc_day").distinct().as[java.sql.Timestamp].collect().toSet === Set(days(3)))

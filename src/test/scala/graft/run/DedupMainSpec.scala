@@ -48,10 +48,13 @@ class DedupMainSpec extends SparkSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       def verifyPlan(sh: org.apache.spark.sql.DataFrame): String = {
+        // the persisted stage stores RAW keys (fmt=2); salt applies on read
         val cands = graft.operators.Lsh.candidatePairs(
-          spark.read.parquet(s"$root/band_keys")
-            .where(org.apache.spark.sql.functions.col("family") === "minhash")
-            .select("doc_id", "key", "salt", "is_hot"))
+          graft.operators.Lsh.saltBandKeys(
+            spark.read.parquet(s"$root/band_keys")
+              .where(org.apache.spark.sql.functions.col("family") === "minhash")
+              .select("doc_id", "key"),
+            cfg, materialized = true))
         graft.operators.Lsh.verifyJaccard(cands, sh, cfg)
           .queryExecution.executedPlan.toString
       }

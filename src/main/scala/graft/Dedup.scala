@@ -34,9 +34,16 @@ object Dedup {
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val shingled = fp.select("doc_id", "shingles")
     val simhashes = fp.select("doc_id", "simhash")
-    val mhc = Lsh.candidatePairs(Lsh.saltBandKeys(
-        Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg))
-      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // MinHash listing splits: cold candidates (downstream-verified) + hot
+    // lanes resolved IN-TASK by the exact-Jaccard verified forest
+    // (Lsh.jaccardLaneVerifiedPairs — clusters identical to the uncapped
+    // enumeration, unlike the unverified hub stars this replaced)
+    val (mhCands, mhHot) = Lsh.minhashListing(
+      Lsh.saltBandKeys(
+        Lsh.minhashBandKeys(Lsh.signatures(shingled, cfg), cfg), cfg),
+      shingled, cfg)
+    val mhc = mhCands.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val mhHotC = mhHot.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // SimHash pair listing runs the in-task verified-forest cap (see
     // Lsh.hammingCappedPairs — clusters identical to uncapped); with
     // salting disabled the join listing runs instead (task-memory bound)
@@ -54,16 +61,20 @@ object Dedup {
     // corpus) the heavy shingle arrays shuffle only for candidate docs —
     // same discipline as DedupMain's staged path, output-preserving.
     val famCounts = mhc.select(lit("mh").as("fam"))
+      .unionByName(mhHotC.select(lit("mhv").as("fam")))
       .unionByName(shc.select(lit("sh").as("fam")))
       .unionByName(sub.select(lit("sub").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
+    // hot-lane edges are already exact-verified in-task — only the cold
+    // candidates go through the verify join
     val mh = Lsh.verifyJaccard(
-      mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
+        mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
+      .unionByName(mhHotC)
     val sh = Lsh.verifyHamming(
       shc, Lsh.restrictToCandidateDocs(simhashes, shc, 2 * nSh), cfg)
-    (Lsh.dupPairs(mh, sh, sub), Seq(d, fp, mhc, shc, sub))
+    (Lsh.dupPairs(mh, sh, sub), Seq(d, fp, mhc, mhHotC, shc, sub))
   }
 
   /** Family-tagged verified duplicate pairs (a, b, family).

@@ -201,6 +201,125 @@ object Lsh {
     pairs.groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
   }
 
+  /** Exact Jaccard over two distinct-sorted long arrays — the same linear
+    * merge-intersect as the JaccardSorted expression (bit-identical result:
+    * inter/union double division), available to in-task lane resolution. */
+  private def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) -1.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Hot-lane resolution for the MinHash family: in-task EXACT-Jaccard
+    * verified spanning forest — `hammingCappedPairs`' discipline brought to
+    * MinHash (the r4 verdict's "what's wrong #2": the hub-star spokes this
+    * replaces were UNVERIFIED, and a lane member whose spoke failed the
+    * exact check in every band silently lost connectivity — the exact
+    * failure class measured and fixed for SimHash at 240k/960k).
+    *
+    * Input: the is_hot rows of a salted key table, (key, salt, doc_id);
+    * each member's distinct-sorted shingle array joins in (Exchange-free
+    * on the shingle side when it is the doc_id-bucketed stage table), and
+    * each (key, salt) lane — ≤ ~saltMaxBucket members by construction — is
+    * resolved in ONE task: members sorted by doc_id (determinism at any
+    * parallelism), union-find, and for each pair not yet connected the
+    * exact Jaccard (identical merge + division as the JaccardSorted
+    * expression) decides the edge. Emitted edges are therefore ALREADY
+    * VERIFIED — callers union them with the cold candidates' verify output
+    * and never re-verify. Per-lane connectivity equals the uncapped clique
+    * enumeration's verified subgraph by the spanning-forest property, so
+    * global clusters are IDENTICAL to uncapped listing + verify.
+    *
+    * Pairs skipped because their endpoints were already connected through
+    * verified edges are counted into `suppressed` (an upper bound on the
+    * redundant verified pairs not emitted — loud, never silent). A cheap
+    * length-ratio prefilter (J ≤ min/max sizes) skips the merge for pairs
+    * that cannot reach the threshold; such pairs fail under the uncapped
+    * listing too, so equivalence is unaffected. */
+  def jaccardLaneVerifiedPairs(hotKeys: DataFrame, shingled: DataFrame,
+                               threshold: Double,
+                               suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = hotKeys.sparkSession
+    import spark.implicits._
+    val rows = hotKeys.select(col("key"), col("salt").cast("int").as("salt"), col("doc_id"))
+      .join(shingled.select(col("doc_id"), col("shingles")), "doc_id")
+      .select(col("key"), col("salt"), col("doc_id"), col("shingles"))
+      .as[(Long, Int, Long, Array[Long])]
+    rows.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        if (ms.length < 2) Iterator.empty
+        else {
+          val sorted = ms.sortBy(_._3) // determinism across row order
+          val n = sorted.length
+          val parent = Array.tabulate(n)(identity)
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          var skipped = 0L
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var i = 0
+          while (i < n) {
+            val shI = sorted(i)._4
+            var j = i + 1
+            while (j < n) {
+              val ri = find(i); val rj = find(j)
+              if (ri == rj) skipped += 1
+              else {
+                val shJ = sorted(j)._4
+                // length prefilter: J ≤ min/max — below-threshold bound
+                // means the exact check could only fail; skip the merge
+                val lo = math.min(shI.length, shJ.length).toDouble
+                val hi = math.max(shI.length, shJ.length).toDouble
+                if (lo >= threshold * hi) {
+                  val jac = jaccardSortedArrays(shI, shJ)
+                  if (jac >= threshold) {
+                    parent(math.max(ri, rj)) = math.min(ri, rj)
+                    out += ((sorted(i)._3, sorted(j)._3, jac))
+                  }
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          suppressed.foreach(_.add(skipped))
+          out.iterator
+        }
+      }
+      .toDF("a", "b", "jaccard")
+  }
+
+  /** Split MinHash pair listing: (cold candidate listing — downstream
+    * exact-verified as always, hot-lane listing — ALREADY verified). Hot
+    * lanes run the in-task exact-Jaccard forest (`jaccardLaneVerifiedPairs`)
+    * instead of unverified hub stars; cold buckets keep the equi-join
+    * listing. Callers verify the first, union the second, e.g.
+    * `verifyJaccard(cands, sh, cfg).unionByName(hotVerified)`. */
+  def minhashListing(saltedKeys: DataFrame, shingled: DataFrame, cfg: DedupConfig,
+                     suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (DataFrame, DataFrame) = {
+    val spark = saltedKeys.sparkSession
+    import spark.implicits._
+    if (!saltedKeys.columns.contains("is_hot"))
+      (candidatePairs(saltedKeys),
+       Seq.empty[(Long, Long, Double)].toDF("a", "b", "jaccard"))
+    else
+      // dropping is_hot on the cold side skips candidatePairs' (empty) hot
+      // window branch entirely — no WindowExec in the cold plan
+      (candidatePairs(saltedKeys.where(!col("is_hot")).drop("is_hot")),
+       jaccardLaneVerifiedPairs(saltedKeys.where(col("is_hot")), shingled,
+         cfg.jaccardThreshold, suppressed))
+  }
+
   /** J1 variant with a PAIR-LISTING cap for the SimHash family (the
     * `pairListMaxClique` discipline applied to banded LSH). Buckets at or
     * below `starCap` keep the exact all-pairs candidate listing (verified
@@ -435,8 +554,12 @@ object Lsh {
     val sh = shingled(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
     // candidates are consumed exactly once (the verify join) — caching them
-    // here would be pure block-manager pressure
-    verifyJaccard(candidatePairs(keys), sh, cfg)
+    // here would be pure block-manager pressure. Hot lanes come back
+    // already exact-verified (in-task forest); a pair that is both a cold
+    // candidate in one band and a hot-lane edge in another dedupes here.
+    val (cands, hotVerified) = minhashListing(keys, sh, cfg)
+    verifyJaccard(cands, sh, cfg).unionByName(hotVerified)
+      .dropDuplicates("a", "b")
   }
 
   /** Full SimHash family: docs(doc_id, text) → verified (a, b, hamming).

@@ -193,6 +193,7 @@ object DedupMain {
     val prevDup = Checkpoint.readManifest(spark, root, "dup_pairs")
     val substrDropped = spark.sparkContext.longAccumulator("substr_starcap_dropped_pairs")
     val simhashSuppressed = spark.sparkContext.longAccumulator("simhash_starcap_suppressed_pairs")
+    val minhashLaneSuppressed = spark.sparkContext.longAccumulator("minhash_lane_suppressed_pairs")
 
     /** Full-corpus three-family build → LAZY (a, b, family) plan. Consumes
       * the persisted raw band_keys stage (building it when absent), salts
@@ -215,13 +216,20 @@ object DedupMain {
       val mhSalted = Lsh.saltBandKeys(
         rawKeys.where(col("family") === "minhash").select("doc_id", "key"),
         cfg, materialized = true)
-      // is_hot MUST survive into candidatePairs: it keys the star-vs-clique
+      // is_hot MUST survive into the listing: it keys the star-vs-clique
       // discipline — dropping it would run the full self-join over hot salt
       // lanes (quadratic boilerplate blowup) and diverge from the Dedup
       // facade at the same configHash. (Absent only when salting is off.)
+      // Hot lanes come back ALREADY exact-verified (in-task Jaccard forest,
+      // joined against the doc_id-bucketed shingled stage).
       val mhCols = Seq("doc_id", "key", "salt") ++
         (if (mhSalted.columns.contains("is_hot")) Seq("is_hot") else Nil)
-      val mhc = Lsh.candidatePairs(mhSalted.select(mhCols.map(col): _*))
+      val (mhCands, mhHot) = Lsh.minhashListing(
+        mhSalted.select(mhCols.map(col): _*),
+        shingled.select("doc_id", "shingles"), cfg, Some(minhashLaneSuppressed))
+      val mhc = mhCands
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val mhHotC = mhHot
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // simhash pair listing runs the in-task verified-forest cap
       // (Lsh.hammingCappedPairs — clusters identical to uncapped; join
@@ -245,13 +253,17 @@ object DedupMain {
       // chains), and the per-family counts gate the broadcast
       // semi-restriction below.
       val famCounts = mhc.select(lit("mh").as("fam"))
+        .unionByName(mhHotC.select(lit("mhv").as("fam")))
         .unionByName(shc.select(lit("sh").as("fam")))
         .unionByName(sub.select(lit("sub").as("fam")))
         .groupBy("fam").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
+      // hot-lane edges are already exact-verified in-task — only the cold
+      // candidates go through the verify join
       val mh = Lsh.verifyJaccard(
-        mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
+          mhc, Lsh.restrictToCandidateDocs(shingled, mhc, 2 * nMh), cfg)
+        .unionByName(mhHotC)
       val sh = Lsh.verifyHamming(
         shc, Lsh.restrictToCandidateDocs(
           signatures.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
@@ -265,6 +277,10 @@ object DedupMain {
       // simhash forest suppressed — loud cap, never silent
       Metrics.append(spark, root, runId, "simhash_starcap_suppressed_pairs",
         simhashSuppressed.value, 0L, resumed = false)
+      // minhash hot lanes: pairs skipped as already-connected through
+      // verified edges (upper bound on redundant verified pairs) — loud
+      Metrics.append(spark, root, runId, "minhash_lane_suppressed_pairs",
+        minhashLaneSuppressed.value, 0L, resumed = false)
     }
 
     val inDays: Seq[java.sql.Timestamp] =

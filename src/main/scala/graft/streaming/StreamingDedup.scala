@@ -114,15 +114,139 @@ object StreamingDedup {
       }
       .start()
 
+  /** The durable state tables the bridge accumulates one partition dir per
+    * micro-batch into — and the compactor folds back together. */
+  private val StateTables = Seq("keys", "keys_sh", "shingled", "simhashes")
+
+  /** Version stamp of the state-table layout. v2 = the two-family bridge
+    * (keys_sh/simhashes exist). A pre-versioned root (keys/ without the
+    * stamp) predates the SimHash family: its historical batches carry no
+    * fingerprint state, so resuming onto it would leave oldKeysSh empty
+    * forever and silently lose old-vs-new simhash recall — the bridge
+    * REFUSES such roots instead (rebuild, or run the matching build). */
+  val StateFormatVersion = 2
+
+  private def rootFs(spark: org.apache.spark.sql.SparkSession, root: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private[streaming] def ensureStateFormat(spark: org.apache.spark.sql.SparkSession,
+                                           root: String): Unit = {
+    val fs = rootFs(spark, root)
+    val vf = new org.apache.hadoop.fs.Path(s"$root/_state_format")
+    if (fs.exists(vf)) {
+      val in = fs.open(vf)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+              finally in.close()
+      require(v == StateFormatVersion,
+        s"streaming state at $root has format v$v; this build writes " +
+          s"v$StateFormatVersion — resuming would corrupt recall. Rebuild " +
+          "the state root (or run the build matching the state).")
+    } else {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/keys")),
+        s"streaming state at $root predates state-format stamping " +
+          "(single-family bridge): historical batches have no " +
+          "keys_sh/simhashes rows, so resuming would silently lose " +
+          "old-vs-new SimHash recall — rebuild the state root")
+      val out = fs.create(vf, true)
+      try out.write(StateFormatVersion.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Fold every committed state batch with id < `beforeBatch` into ONE
+    * consolidated partition dir per state table (batch_id = the largest
+    * folded id, so the old/new split by batch_id stays exact on replays).
+    * A long-running stream otherwise accumulates one parquet dir per
+    * micro-batch per table FOREVER — file-count degradation on every
+    * partition-discovery read and on the per-batch census scan.
+    *
+    * Crash-safe two-phase protocol: (1) PREPARE — write the consolidated
+    * data under `<root>/_compact/<table>/batch_id=<maxId>`; (2) COMMIT —
+    * create the single `_compact/COMMIT` marker (atomic file create)
+    * listing the folded ids; (3) FINISH — delete folded dirs, move the
+    * consolidated dirs in, drop `_compact`. A crash before COMMIT leaves
+    * the live tables untouched (`_compact` is discarded on the next
+    * batch); a crash after COMMIT is completed idempotently by
+    * `finishCompaction` at the next batch start. */
+  private[streaming] def compactState(spark: org.apache.spark.sql.SparkSession,
+                                      root: String, beforeBatch: Long): Unit = {
+    finishCompaction(spark, root) // complete a committed-but-unfinished fold
+    val fs = rootFs(spark, root)
+    val prep = new org.apache.hadoop.fs.Path(s"$root/_compact")
+    if (fs.exists(prep)) fs.delete(prep, true) // torn PREPARE: abandon
+    val folds = committedSnapshots(spark, s"$root/keys").filter(_ < beforeBatch)
+    if (folds.size < 2) return
+    val maxId = folds.max
+    StateTables.foreach { t =>
+      spark.read.parquet(s"$root/$t")
+        .where(col("batch_id").isin(folds.map(x => x: Any): _*))
+        .drop("batch_id")
+        .write.mode("overwrite").parquet(s"$root/_compact/$t/batch_id=$maxId")
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_compact/COMMIT"), true)
+    try out.write(folds.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    finishCompaction(spark, root)
+  }
+
+  /** Idempotent FINISH phase of `compactState` — a no-op without a COMMIT
+    * marker; otherwise deletes the folded batch dirs (no-op when already
+    * gone) and moves each consolidated dir into the live table (no-op when
+    * already moved), then drops the staging dir. */
+  private[streaming] def finishCompaction(spark: org.apache.spark.sql.SparkSession,
+                                          root: String): Unit = {
+    val fs = rootFs(spark, root)
+    val commit = new org.apache.hadoop.fs.Path(s"$root/_compact/COMMIT")
+    if (!fs.exists(commit)) return
+    val in = fs.open(commit)
+    val folds = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+                finally in.close()
+    val maxId = folds.max
+    StateTables.foreach { t =>
+      folds.foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$id"), true)
+      }
+      val src = new org.apache.hadoop.fs.Path(s"$root/_compact/$t/batch_id=$maxId")
+      if (fs.exists(src))
+        fs.rename(src, new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$maxId"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_compact"), true)
+  }
+
+  /** Drop superseded cluster snapshots, keeping the `keep` most recent
+    * committed ones (2 covers a replay of the newest batch, which rebuilds
+    * from the second-newest). Without GC every micro-batch's full
+    * assignment snapshot lives forever. */
+  private def gcClusterSnapshots(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, keep: Int = 2): Unit = {
+    val fs = rootFs(spark, root)
+    committedSnapshots(spark, s"$root/clusters").sorted.dropRight(keep).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/clusters/batch_id=$id"), true)
+    }
+  }
+
+  /** Trigger compaction once this many committed batch dirs accumulate. */
+  val CompactEvery = 16
+
   /** One micro-batch of the bridge (public so the replay-idempotence test
     * can re-deliver a batch exactly as the streaming engine would). Runs
     * BOTH banded families: MinHash (shingle state + Jaccard verify) and
     * SimHash (fingerprint state + Hamming verify), each through the shared
     * new×all operator, their verified pairs family-tagged into the same
     * per-batch pair partition. */
-  def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig, root: String): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig, root: String,
+                   compactEvery: Int = CompactEvery): Unit = {
     val spark = batch.sparkSession
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // refuse incompatible state, recover any torn compaction, and fold the
+    // batch-dir backlog before reading state
+    ensureStateFormat(spark, root)
+    finishCompaction(spark, root)
+    if (compactEvery > 0 &&
+        committedSnapshots(spark, s"$root/keys").count(_ < batchId) >= compactEvery)
+      compactState(spark, root, batchId)
     val sh = Lsh.shingled(batch, cfg).localCheckpoint()
     val sims = Lsh.simhashes(batch, cfg).localCheckpoint()
     val newKeys = Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg)
@@ -182,6 +306,9 @@ object StreamingDedup {
     ConnectedComponents.assign(
         prevEdges.fold(newPairs)(_.unionByName(newPairs)))
       .write.mode("overwrite").parquet(s"$root/clusters/batch_id=$batchId")
+    // this batch's snapshot is committed — drop all but the 2 most recent
+    // (the second-newest is what a replay of THIS batch rebuilds from)
+    gcClusterSnapshots(spark, root)
     // Per-batch checkpoint-block lifecycle: everything this batch needed is
     // now durably written — without explicit unpersist a long-running stream
     // piles one set of executor blocks per micro-batch until the

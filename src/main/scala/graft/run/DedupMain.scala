@@ -80,9 +80,23 @@ object DedupMain {
     }
   }
 
-  /** The full pipeline, stage-checkpointed under `root`. Returns clusters. */
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The full pipeline, stage-checkpointed under `root`. Returns clusters.
+    *
+    * `keepBest` (CLI arg `keepBest=<sql-expr>`) additionally materializes
+    * the quality-aware dedup stage `<root>/deduped`: every cluster keeps
+    * its highest-scoring member (`Dedup.keepBest` — the training-data
+    * "keep the best copy" policy, q33's operator on the spark-submit
+    * path). The expression is evaluated over the docs stage's columns.
+    * Its stage key folds the CLUSTERS stage's own key plus the score
+    * expression, so a config change, an input change, an appended day or a
+    * different score each invalidate it, while a pure resume reuses it. */
   def run(spark: SparkSession, inputRef: String, root: String, cfg: DedupConfig,
-          runId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+          runId: String = java.util.UUID.randomUUID().toString,
+          keepBest: Option[String] = None): DataFrame = {
     def stage(name: String)(build: => DataFrame): DataFrame =
       Checkpoint.stage(spark, root, name, cfg, runId)(build)
 
@@ -385,7 +399,7 @@ object DedupMain {
         }
       }
 
-    if (!dayGranular) {
+    val clustersOut = if (!dayGranular) {
       Checkpoint.stage(spark, root, "clusters", cfg, runId, inputKey) {
         ConnectedComponents.clusters(
           ConnectedComponents.assign(dupPairs.select("a", "b")))
@@ -439,6 +453,20 @@ object DedupMain {
         }
       }
     }
+
+    keepBest.foreach { scoreExpr =>
+      // key = clusters' own (already input+day-discriminating) manifest key
+      // + the score expression, both hashed (a raw SQL expression would
+      // break the flat-JSON manifest parser)
+      val clusterKey = Checkpoint.readManifest(spark, root, "clusters")
+        .map(_.configHash).getOrElse("")
+      Checkpoint.stage(spark, root, "deduped", cfg, runId,
+        s"clusters=${md5(clusterKey)};score=${md5(scoreExpr)}") {
+        graft.Dedup.keepBest(docs,
+          clustersOut.select("doc_id", "cluster_id"), expr(scoreExpr))
+      }
+    }
+    clustersOut
   }
 
   /** One pending crawl day of the incremental pair build: new×all
@@ -520,9 +548,14 @@ object DedupMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DedupMain <input> <outRoot> [k=..] [bands=..] ...")
+    require(args.length >= 2,
+      "usage: DedupMain <input> <outRoot> [k=..] [bands=..] [keepBest=<sql-expr>] ...")
     val (inputRef, root) = (args(0), args(1))
-    val cfg = parseConfig(args.drop(2).toSeq)
+    // keepBest is a RUN policy (which copy to keep), not a clustering knob:
+    // it must not perturb configHash, so it is split off before parseConfig
+    val (kbArgs, cfgArgs) = args.drop(2).partition(_.startsWith("keepBest="))
+    val keepBest = kbArgs.lastOption.map(_.split("=", 2)(1))
+    val cfg = parseConfig(cfgArgs.toSeq)
     val builder = SparkSession.builder()
       .appName("graft-dedup")
       .config("spark.sql.session.timeZone", "UTC")
@@ -535,10 +568,13 @@ object DedupMain {
                            (2 * Runtime.getRuntime.availableProcessors).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val clusters = run(spark, inputRef, root, cfg)
+    val clusters = run(spark, inputRef, root, cfg, keepBest = keepBest)
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nDocs = clusters.count()
-    println(s"""{"configHash":"${cfg.configHash}","clustered_docs":$nDocs,"clusters":$nClusters,"out":"$root"}""")
+    val dedupedField = keepBest.map { _ =>
+      s""","deduped_docs":${spark.read.parquet(s"$root/deduped").count()}"""
+    }.getOrElse("")
+    println(s"""{"configHash":"${cfg.configHash}","clustered_docs":$nDocs,"clusters":$nClusters$dedupedField,"out":"$root"}""")
     spark.stop()
   }
 }

@@ -157,6 +157,50 @@ class DayResumeSpec extends SparkSuite {
     assert(appended === fresh, "two-day append must equal the from-scratch clusters")
   }
 
+  test("keepBest quality dedup on the staged path: append invalidates it, parity with from-scratch") {
+    val pages = PagesGen.pages(spark, 160, cfg).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(3)) * 86400L))
+    val days = pages.select(date_trunc("day", col("warc_ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    val in2 = tmpRoot() + "/in2.parquet"
+    val in3 = tmpRoot() + "/in3.parquet"
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(2))).write.parquet(in2)
+    pages.write.parquet(in3)
+    val score = "octet_length(text)"
+    val root = tmpRoot()
+    DedupMain.run(spark, in2, root, cfg, "base", keepBest = Some(score)).count()
+    val baseKept = spark.read.parquet(s"$root/deduped")
+      .select("doc_id").as[Long].collect().toSet
+    DedupMain.run(spark, in3, root, cfg, "app", keepBest = Some(score)).count()
+    // the appended day changed the clusters → deduped must recompute
+    assert(Metrics.read(spark, root)
+      .where(col("run_id") === "app" && col("stage") === "deduped" && !col("resumed"))
+      .count() === 1, "append must invalidate the deduped stage")
+    val appKept = spark.read.parquet(s"$root/deduped")
+      .select("doc_id").as[Long].collect().toSet
+    assert(appKept !== baseKept) // day-3 docs joined the corpus
+    // parity: winners equal a from-scratch keepBest run on the full input
+    val freshRoot = tmpRoot()
+    DedupMain.run(spark, in3, freshRoot, cfg, "fresh", keepBest = Some(score)).count()
+    val freshKept = spark.read.parquet(s"$freshRoot/deduped")
+      .select("doc_id").as[Long].collect().toSet
+    assert(appKept === freshKept, "staged keepBest must equal from-scratch winners")
+    // and the policy itself matches the facade operator's semantics
+    val facade = graft.Dedup.keepBest(
+        spark.read.parquet(s"$freshRoot/docs"),
+        spark.read.parquet(s"$freshRoot/clusters").select("doc_id", "cluster_id"),
+        expr(score))
+      .select("doc_id").as[Long].collect().toSet
+    assert(freshKept === facade)
+    // unchanged rerun resumes the deduped stage
+    DedupMain.run(spark, in3, root, cfg, "rerun", keepBest = Some(score)).count()
+    assert(Metrics.read(spark, root)
+      .where(col("run_id") === "rerun" && col("stage") === "deduped" && col("resumed"))
+      .count() === 1, "no-change rerun must resume the deduped stage")
+  }
+
   test("day-incremental stages refuse null warc_day rows loudly") {
     // a null crawl day is invisible to day-granular resume: after the first
     // build such rows would never be pending again and would silently drop

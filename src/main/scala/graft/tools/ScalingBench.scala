@@ -195,17 +195,22 @@ object ScalingBench {
     // (docs only in one run + common docs whose partition disagrees; a
     // bounded hot-bucket delta is REPORTED, cold structure must be exact).
     if (sys.env.contains("SPARK_GRAFT_APPEND")) {
-      import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max}
+      import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val all = spark.read.parquet(corpus)
-      val nDays = all.select(date_trunc("day", col("warc_ts"))).distinct().count()
-      require(nDays >= 2, s"append mode needs a multi-day corpus " +
-        s"(1 s doc spacing ⇒ ≥ ~173k docs); $corpus spans $nDays day(s)")
-      val lastDay = all.select(date_trunc("day", col("warc_ts")).as("d"))
-        .agg(max("d")).head().getTimestamp(0)
-      val headPath = s"$localDir/graft_append_head_$n"
+      // SPARK_GRAFT_APPEND_DAYS=k (default 1): the head run covers all but
+      // the last k crawl days; the append run adds those k days in ONE
+      // DedupMain invocation (the multi-day ordered-context path) — the
+      // append-wall-vs-#pending-days cost curve the verdict asked to pin
+      val pendK = sys.env.getOrElse("SPARK_GRAFT_APPEND_DAYS", "1").toInt
+      val days = all.select(date_trunc("day", col("warc_ts")).as("d"))
+        .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+      require(days.length > pendK, s"append mode needs > $pendK crawl days " +
+        s"(1 s doc spacing ⇒ ≥ ~173k docs); $corpus spans ${days.length} day(s)")
+      val cutoff = days(days.length - pendK)
+      val headPath = s"$localDir/graft_append_head_${n}_p$pendK"
       if (!new java.io.File(headPath + "/_SUCCESS").exists())
-        all.where(date_trunc("day", col("warc_ts")) < lit(lastDay))
+        all.where(date_trunc("day", col("warc_ts")) < lit(cutoff))
           .write.mode("overwrite").parquet(headPath)
       def timed(label: String)(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -217,8 +222,8 @@ object ScalingBench {
       }
       def assignment(root: String) =
         spark.read.parquet(s"$root/clusters").select("doc_id", "cluster_id")
-      val aRoot = s"$localDir/graft_append_root_$n"
-      val fRoot = s"$localDir/graft_full_root_$n"
+      val aRoot = s"$localDir/graft_append_root_${n}_p$pendK"
+      val fRoot = s"$localDir/graft_full_root_${n}_p$pendK"
       Seq(aRoot, fRoot).foreach { r =>
         fs.delete(new org.apache.hadoop.fs.Path(r), true)
         // bucketed stage tables live in the warehouse dir, not under the
@@ -270,7 +275,7 @@ object ScalingBench {
       val disagree = relabeled(aA).withColumnRenamed("lbl", "la")
         .join(relabeled(aF).withColumnRenamed("lbl", "lf"), "doc_id")
         .where(col("la") =!= col("lf")).count()
-      println(s"""{"bench":"day-append","docs":$n,"cpus":$cpus,""" +
+      println(s"""{"bench":"day-append","docs":$n,"cpus":$cpus,"pending_days":$pendK,""" +
         s""""head_sec":$wHead,"append_sec":$wAppend,"full_sec":$wFull,""" +
         s""""speedup":${wFull / wAppend},"clustered_docs":$cAppend,""" +
         s""""clustered_docs_full":$cFull,""" +

@@ -197,7 +197,7 @@ object ExactSubstr {
 
   /** Incremental X2 — new×all gram collision candidates for the day-append
     * path: every emitted pair involves ≥1 new doc, so no candidate is ever
-    * produced twice across appends (the `Lsh.newVsAllCandidatePairs`
+    * produced twice across appends (the `Lsh.newVsAllListing`
     * discipline, carrying the gram witness offsets the byte-verify needs).
     * Hot grams (census over all entries, > pairStarCap) emit a star from
     * each NEW entry to the global-min (doc, off) witness plus a

@@ -393,71 +393,71 @@ object Lsh {
       .groupBy("a", "b").agg(count(lit(1)).as("band_hits"))
   }
 
-  /** Incremental new×all bucket candidates — the shared machinery of the
-    * streaming foreachBatch bridge AND DedupMain's day-append path. Inputs
-    * are (doc_id, key) band-key tables; the bucket join runs new×(old∪new)
-    * (new-new pairs collide too), so every emitted pair involves ≥1 new doc
-    * and no pair is ever produced twice across increments. Hot buckets
-    * (census over ALL members, > cap) emit hub stars — every new member to
-    * the bucket's global-min hub, plus hub-to-previous-hub when a new
-    * arrival takes over the minimum — instead of the quadratic product:
-    * connectivity matches the batch star lanes. */
-  def newVsAllCandidatePairs(newKeys: DataFrame, oldKeys: DataFrame, cap: Int,
-                             suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame =
-    newVsAllRawCandidates(newKeys, oldKeys, cap, suppressed).distinct()
-
-  /** The pre-distinct listing behind `newVsAllCandidatePairs` (the distinct
-    * collapses multi-band collisions of the SAME pair — inherent). Within
-    * one bucket no pair row is ever produced twice: new↔old pairs are
-    * emitted from the new side only, and new↔new pairs under `x < y` — the
-    * previous `x =!= y` + canonicalize form shipped every new↔new pair in
-    * BOTH orientations into the distinct's shuffle, a 2× transient on the
-    * append path (spec-asserted duplicate-free on single-key fixtures). */
-  private[graft] def newVsAllRawCandidates(newKeys: DataFrame, oldKeys: DataFrame,
-                                           cap: Int,
-                                           suppressed: Option[org.apache.spark.util.LongAccumulator])
-      : DataFrame = {
+  /** Incremental new×all listing — the shared machinery of the streaming
+    * foreachBatch bridge AND DedupMain's day-append path. Inputs are
+    * (doc_id, key) band-key tables; the union is new ∪ old at every call
+    * site (derived here with a side tag). Returns:
+    *
+    *  - **cold candidates** (buckets ≤ cap members): the exact
+    *    new×(old∪new) candidate listing, PRE-distinct (multi-band
+    *    collisions of the same pair are collapsed by the caller's
+    *    distinct) — every pair involves ≥1 new doc, so no pair is ever
+    *    produced twice across increments, and within one bucket no row
+    *    duplicates (new↔old from the new side only; new↔new once via
+    *    x < y — spec-asserted);
+    *  - **hot lanes** (buckets > cap), salted with the IDENTICAL
+    *    census+salt formula as the batch path (`saltBandKeys`: nsalt =
+    *    ceil(count/cap), salt = pmod(xxhash64(doc_id, key), nsalt)), as
+    *    (key, salt, doc_id, is_new) rows. Callers join the family's
+    *    verification payload and resolve each lane in-task with
+    *    `jaccardIncrementalLanePairs` / `hammingIncrementalLanePairs` —
+    *    the batch families' verified-forest discipline, incrementally.
+    *    (The pre-r5 hub-star spokes here were UNVERIFIED edges: a spoke
+    *    failing the downstream exact check silently cost connectivity —
+    *    the same class the batch listings already fixed.)
+    *
+    * Loud-cap accounting into `suppressed`: the cross-lane new-involving
+    * candidates a hot bucket never enumerates, ≈ (m(n−m) + C(m,2)) ·
+    * (1 − 1/s) per bucket (estimate; the lane operators additionally
+    * count their in-task skips exactly). */
+  def newVsAllListing(newKeys: DataFrame, oldKeys: DataFrame, cap: Int,
+                      suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (DataFrame, DataFrame) = {
     // cap <= 0 means UNCAPPED — the saltMaxBucket convention everywhere
-    // else (saltBandKeys, pairStarCap, candidatePairsStream); max(1, cap)
-    // would invert it into "star every bucket" with unverified hub edges
+    // else (saltBandKeys, pairStarCap, candidatePairsStream)
     val capped = if (cap <= 0) Int.MaxValue else cap
     val spark = newKeys.sparkSession
     import spark.implicits._
-    // the union IS new ∪ old at every call site (day-append unions the two
-    // banded sides; the streaming bridge's state table equals old ∪ this
-    // batch's appended rows) — derived here with a side tag so the cold
-    // leg can orient new↔new pairs once
     val allKeys = newKeys.select(col("doc_id"), col("key"))
       .withColumn("is_new", lit(true))
       .unionByName(oldKeys.select(col("doc_id"), col("key"))
         .withColumn("is_new", lit(false)))
     val hotCounts = allKeys.groupBy("key").count().where(col("count") > capped)
+      .select(col("key"),
+              ceil(col("count") / capped).cast("int").as("nsalt"), col("count"))
     val hot = suppressed match {
       case Some(acc) =>
-        // loud-cap accounting (estimate, same contract as
-        // saltedDropEstimate): a hot bucket of n members with m new ones
-        // has ~m·(n−m) + C(m,2) candidate pairs involving a new doc; the
-        // hub star emits ~m edges. Rides the checkpoint lineage as a
-        // task-side update — fills at the caller's materializing action.
+        // rides the checkpoint lineage as a task-side update — fills at
+        // the caller's materializing action; localCheckpoint so re-reads
+        // of the hot map don't re-add
         val withNew = hotCounts
           .join(newKeys.groupBy("key").agg(count(lit(1)).as("nnew")), Seq("key"), "left")
-          .select(col("key"), col("count"),
+          .select(col("key"), col("nsalt"), col("count"),
                   coalesce(col("nnew"), lit(0L)).as("nnew"))
-          .as[(Long, Long, Long)]
+          .as[(Long, Int, Long, Long)]
           .mapPartitions { it =>
-            it.map { case r @ (_, n, m) =>
+            it.map { case r @ (_, s, n, m) =>
               val cands = m.toDouble * (n - m) + m.toDouble * (m - 1) / 2
-              acc.add(math.max(0L, (cands - m).toLong))
+              acc.add(math.max(0L, (cands * (1.0 - 1.0 / math.max(1, s))).toLong))
               r
             }
           }
-        withNew.toDF("key", "count", "nnew").select("key")
+        withNew.toDF("key", "nsalt", "count", "nnew").select("key", "nsalt")
           .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      case None => hotCounts.select("key")
+      case None => hotCounts.select("key", "nsalt")
     }
-    val coldNew = newKeys.join(broadcast(hot), Seq("key"), "left_anti")
-    val coldAll = allKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    val coldNew = newKeys.join(broadcast(hot.select("key")), Seq("key"), "left_anti")
+    val coldAll = allKeys.join(broadcast(hot.select("key")), Seq("key"), "left_anti")
     val coldCands = coldNew.select(col("key"), col("doc_id").as("x"))
       .join(coldAll.select(col("key"), col("doc_id").as("y"), col("is_new")), "key")
       // new↔old from the new side only (any orientation — ids are disjoint
@@ -465,20 +465,172 @@ object Lsh {
       .where((col("x") < col("y")) || (!col("is_new") && col("x") =!= col("y")))
       .select(least(col("x"), col("y")).as("a"),
               greatest(col("x"), col("y")).as("b"))
-    val hubAll = allKeys.join(broadcast(hot), Seq("key"))
-      .groupBy("key").agg(min("doc_id").as("hub"))
-    val hubOld = oldKeys.join(broadcast(hot), Seq("key"))
-      .groupBy("key").agg(min("doc_id").as("old_hub"))
-    val hotSpokes = newKeys.join(broadcast(hot), Seq("key"))
-      .join(hubAll, "key")
-      .where(col("doc_id") =!= col("hub"))
-      .select(col("hub").as("a"), col("doc_id").as("b"))
-    val hubChain = hubAll.join(hubOld, "key")
-      .where(col("hub") =!= col("old_hub"))
-      .select(col("hub").as("a"), col("old_hub").as("b"))
-    coldCands.unionByName(hotSpokes).unionByName(hubChain)
-      .select(least(col("a"), col("b")).as("a"),
-              greatest(col("a"), col("b")).as("b"))
+    val allLanes = allKeys.join(broadcast(hot), Seq("key"))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id"), col("key")), col("nsalt")).cast("int"))
+      .select("key", "salt", "doc_id", "is_new")
+    // only lanes TOUCHED by this increment (≥1 new member) are resolved —
+    // the payload shuffle and in-task work then scale with the increment,
+    // not with the accumulated hot corpus. A drift link inside an
+    // untouched lane (old pair first co-located by census growth) is
+    // examined the next time that lane receives a new member.
+    val touched = allLanes.where(col("is_new")).select("key", "salt").distinct()
+    (coldCands, allLanes.join(touched, Seq("key", "salt"), "left_semi"))
+  }
+
+  /** Attach the previous cluster assignment (doc_id, cluster_id) as the
+    * lanes' nullable `seed` column — see `seedUnion` for why this makes
+    * the lane operators' merge-emit rule sound and no-pair-twice. */
+  def withLaneSeeds(lanes: DataFrame, prevAssign: Option[DataFrame]): DataFrame =
+    prevAssign match {
+      case Some(pa) => lanes.join(
+          pa.select(col("doc_id"), col("cluster_id").as("seed")),
+          Seq("doc_id"), "left")
+      case None => lanes.withColumn("seed", lit(null).cast("long"))
+    }
+
+  /** Seed the lane's union-find with the PREVIOUS cluster assignment:
+    * members sharing a non-null `seed` (their prior cluster_id) start
+    * connected. The prior assignment is CC over every pair emitted so far
+    * (all families), so a pair already emitted is necessarily same-seed —
+    * which makes the merge-emit rule below both SOUND (a merge is a
+    * genuinely new link the from-scratch build would also know) and
+    * NO-PAIR-TWICE (an already-emitted pair can never merge again). A
+    * STALE seed (multi-day pending loops reuse the pre-append snapshot)
+    * only degrades to occasional re-emission of a link discovered earlier
+    * in the same run — duplicate rows across day partitions, harmless to
+    * CC and bounded by lane drift. Without it (`None` seeds throughout,
+    * e.g. a first streaming batch) every member starts a singleton and
+    * the operator emits more redundant-but-verified edges. */
+  private def seedUnion(seeds: Array[Option[Long]], parent: Array[Int]): Unit = {
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    val first = new scala.collection.mutable.HashMap[Long, Int]()
+    var i = 0
+    while (i < seeds.length) {
+      seeds(i).foreach { s =>
+        first.get(s) match {
+          case Some(f) =>
+            val ri = find(i); val rf = find(f)
+            if (ri != rf) parent(math.max(ri, rf)) = math.min(ri, rf)
+          case None => first(s) = i
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** In-task incremental lane resolution, exact-Hamming form: members of
+    * one (key, salt) lane sorted by doc_id, union-find SEEDED with the
+    * previous cluster assignment (`seedUnion`), then every pair whose
+    * components still differ is exact-verified and EMITTED on merge. All
+    * emitted edges are verified (skip the downstream verify join); pairs
+    * skipped as already-connected are counted into `suppressed` (loud).
+    * Union over increments: every verified link that any increment's lane
+    * partition exposes is either already in the global clustering or gets
+    * emitted — no silent connectivity loss, the failure class of the
+    * unverified hub-star spokes this replaces. */
+  def hammingIncrementalLanePairs(lanes: DataFrame, maxHamming: Int,
+                                  suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = lanes.sparkSession
+    import spark.implicits._
+    lanes.select(col("key"), col("salt").cast("int").as("salt"),
+                 col("doc_id"), col("seed"), col("simhash"))
+      .as[(Long, Int, Long, Option[Long], Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(_._3)
+        val n = sorted.length
+        if (n < 2) Iterator.empty
+        else {
+          val parent = Array.tabulate(n)(identity)
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          seedUnion(sorted.map(_._4), parent)
+          var skipped = 0L
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val ri = find(i); val rj = find(j)
+              if (ri != rj) {
+                if (java.lang.Long.bitCount(sorted(i)._5 ^ sorted(j)._5) <= maxHamming) {
+                  parent(math.max(ri, rj)) = math.min(ri, rj)
+                  out += ((sorted(i)._3, sorted(j)._3))
+                }
+              } else skipped += 1
+              j += 1
+            }
+            i += 1
+          }
+          suppressed.foreach(_.add(skipped))
+          out.iterator
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  /** In-task incremental lane resolution, exact-Jaccard form — same
+    * seeded merge-emit contract as `hammingIncrementalLanePairs` with the
+    * MinHash family's exact verification (the JaccardSorted merge,
+    * length-ratio prefilter). Lane rows must carry the member's
+    * distinct-sorted `shingles` and the nullable `seed`. */
+  def jaccardIncrementalLanePairs(lanes: DataFrame, threshold: Double,
+                                  suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = lanes.sparkSession
+    import spark.implicits._
+    lanes.select(col("key"), col("salt").cast("int").as("salt"),
+                 col("doc_id"), col("seed"), col("shingles"))
+      .as[(Long, Int, Long, Option[Long], Array[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(_._3)
+        val n = sorted.length
+        if (n < 2) Iterator.empty
+        else {
+          val parent = Array.tabulate(n)(identity)
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          seedUnion(sorted.map(_._4), parent)
+          var skipped = 0L
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var i = 0
+          while (i < n) {
+            val shI = sorted(i)._5
+            var j = i + 1
+            while (j < n) {
+              val ri = find(i); val rj = find(j)
+              if (ri != rj) {
+                val shJ = sorted(j)._5
+                val lo = math.min(shI.length, shJ.length).toDouble
+                val hi = math.max(shI.length, shJ.length).toDouble
+                if (lo >= threshold * hi &&
+                    jaccardSortedArrays(shI, shJ) >= threshold) {
+                  parent(math.max(ri, rj)) = math.min(ri, rj)
+                  out += ((sorted(i)._3, sorted(j)._3))
+                }
+              } else skipped += 1
+              j += 1
+            }
+            i += 1
+          }
+          suppressed.foreach(_.add(skipped))
+          out.iterator
+        }
+      }
+      .toDF("a", "b")
   }
 
   /** SimHash pair listing with the `saltMaxBucket <= 0` guard: the in-task

@@ -358,10 +358,23 @@ object DedupMain {
         } else if (prevKeyInfo.isDefined && shardsFit && dupDirCommitted &&
                    doneDays.nonEmpty && doneDays.subsetOf(inDays.toSet)) {
           val t0 = System.nanoTime()
+          // previous cluster assignment = the lane operators' union-find
+          // seed (sound merge-emit; see Lsh.seedUnion). Read lazily — the
+          // clusters stage only overwrites this dir AFTER the append loop.
+          // Stale across a multi-day pending loop (documented: occasional
+          // re-emission of a link found earlier in the same run).
+          val clustersSeed: Option[DataFrame] = {
+            val cp = new Path(s"$root/clusters/_SUCCESS")
+            if (cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp) &&
+                Checkpoint.readManifest(spark, root, "clusters")
+                  .exists(_.configHash.startsWith(cfg.configHash)))
+              Some(spark.read.parquet(s"$root/clusters").select("doc_id", "cluster_id"))
+            else None
+          }
           var ctx = inDays.filter(doneDays.contains)
           pending.foreach { d =>
             appendDayPairs(spark, root, runId, cfg, docs, shingled, signatures,
-              bandKeysDay.get, ctx, d, prevShards.get)
+              bandKeysDay.get, clustersSeed, ctx, d, prevShards.get)
             ctx = ctx :+ d
           }
           val out = spark.read.parquet(dupDir)
@@ -481,6 +494,7 @@ object DedupMain {
   private def appendDayPairs(spark: SparkSession, root: String, runId: String,
                              cfg: DedupConfig, docs: DataFrame, shingled: DataFrame,
                              signatures: DataFrame, bandKeys: DataFrame,
+                             clustersSeed: Option[DataFrame],
                              ctxDays: Seq[java.sql.Timestamp],
                              d: java.sql.Timestamp, substrShards: Int): Unit = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -491,6 +505,7 @@ object DedupMain {
     val isNew = col("warc_day") === lit(d)
     val isOld = col("warc_day").isin(ctxDays.map(x => x: Any): _*)
     val sigsAll = signatures.where(isNew || isOld)
+    val shAll = shingled.where(isNew || isOld)
     // band keys come from storage on BOTH sides (r4 re-derived and block-
     // cached corpus×52 keys from signatures per appended day — measured
     // ~80% of the append wall); each leg of the new×all operator re-scans
@@ -498,37 +513,55 @@ object DedupMain {
     def keys(side: org.apache.spark.sql.Column, fam: String) =
       bandKeys.where(side && col("family") === fam).select("doc_id", "key")
     // cap = saltMaxBucket for BOTH families: below it the new×all listing
-    // is exact (same connectivity as the batch path's cold buckets — a
-    // pairStarCap hub star here split clusters at 240k: unverified hub
-    // edges can fail the exact check, the lesson hammingCappedPairs
-    // already taught the batch path); above it, hub stars match the batch
-    // hot-lane semantics
-    val mhc = Lsh.newVsAllCandidatePairs(
-        keys(isNew, "minhash"), keys(isOld, "minhash"), cfg.saltMaxBucket,
-        Some(daySuppressed))
+    // is exact (same pair set as the batch path's cold cliques restricted
+    // to new-involving pairs); above it, the census-salted lanes use the
+    // IDENTICAL salt formula as the batch build and are resolved in-task
+    // by the family's exact-verified forest, emitting only new-involving
+    // merges — no unverified edge anywhere (a pairStarCap hub star here
+    // split clusters at 240k; r4's hub spokes were the same class)
+    val (mhCold, mhLanes) = Lsh.newVsAllListing(
+      keys(isNew, "minhash"), keys(isOld, "minhash"), cfg.saltMaxBucket,
+      Some(daySuppressed))
+    val (shCold, shLanes) = Lsh.newVsAllListing(
+      keys(isNew, "simhash"), keys(isOld, "simhash"), cfg.saltMaxBucket,
+      Some(daySuppressed))
+    val mhc = mhCold.distinct().localCheckpoint(false, ser)
+    val shc = shCold.distinct().localCheckpoint(false, ser)
+    // lane payloads join from the doc_id-bucketed stage tables, seeded
+    // with the previous cluster assignment; emitted lane edges are
+    // ALREADY exact-verified (bypass the verify joins)
+    val mhLaneV = Lsh.jaccardIncrementalLanePairs(
+        Lsh.withLaneSeeds(mhLanes, clustersSeed)
+          .join(shAll.select("doc_id", "shingles"), "doc_id"),
+        cfg.jaccardThreshold, Some(daySuppressed))
       .localCheckpoint(false, ser)
-    val shc = Lsh.newVsAllCandidatePairs(
-        keys(isNew, "simhash"), keys(isOld, "simhash"), cfg.saltMaxBucket,
-        Some(daySuppressed))
+    val shLaneV = Lsh.hammingIncrementalLanePairs(
+        Lsh.withLaneSeeds(shLanes, clustersSeed)
+          .join(sigsAll.select("doc_id", "simhash"), "doc_id"),
+        cfg.hammingThreshold, Some(daySuppressed))
       .localCheckpoint(false, ser)
     val sub = ExactSubstr.substrDupPairsIncremental(
         docs.where(isNew), docs.where(isOld), cfg, substrShards,
         Some(daySuppressed))
       .localCheckpoint(false, ser)
-    // one union action: the three families overlap, counts gate the
-    // verify restriction — the full-build discipline at day scale
+    // one union action: the families overlap, counts gate the verify
+    // restriction — the full-build discipline at day scale
     val famCounts = mhc.select(lit("mh").as("fam"))
       .unionByName(shc.select(lit("sh").as("fam")))
+      .unionByName(mhLaneV.select(lit("mhv").as("fam")))
+      .unionByName(shLaneV.select(lit("shv").as("fam")))
       .unionByName(sub.select(lit("sub").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
     val mh = Lsh.verifyJaccard(
-      mhc, Lsh.restrictToCandidateDocs(
-        shingled.where(isNew || isOld).select("doc_id", "shingles"), mhc, 2 * nMh), cfg)
+        mhc, Lsh.restrictToCandidateDocs(
+          shAll.select("doc_id", "shingles"), mhc, 2 * nMh), cfg)
+      .select("a", "b").unionByName(mhLaneV)
     val sh = Lsh.verifyHamming(
-      shc, Lsh.restrictToCandidateDocs(
-        sigsAll.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
+        shc, Lsh.restrictToCandidateDocs(
+          sigsAll.select("doc_id", "simhash"), shc, 2 * nSh), cfg)
+      .select("a", "b").unionByName(shLaneV)
     Lsh.dupPairs(mh, sh, sub)
       .withColumn("warc_day", lit(d))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -540,7 +573,7 @@ object DedupMain {
     Metrics.append(spark, root, runId, "append_suppressed_pairs_day",
       daySuppressed.value, 0L, resumed = false)
     Lineage.appendDays(spark, root, runId, "dup_pairs", cfg.configHash, Seq(d -> n))
-    Seq(mhc, shc, sub).foreach { df =>
+    Seq(mhc, shc, mhLaneV, shLaneV, sub).foreach { df =>
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))

@@ -264,29 +264,57 @@ object StreamingDedup {
     def oldState(dir: String): DataFrame =
       spark.read.parquet(s"$root/$dir")
         .where(col("batch_id") =!= batchId).select("doc_id", "key")
-    // new × all bucket joins with hot-hub discipline — the shared
-    // incremental operator (Lsh.newVsAllCandidatePairs, which derives
-    // all = new ∪ old internally): every emitted pair involves ≥1 new doc
-    // → no pair repeats across batches.
-    val cands = Lsh
-      .newVsAllCandidatePairs(newKeys, oldState("keys"), cfg.saltMaxBucket)
+    // new × all bucket listings — the shared incremental operator
+    // (Lsh.newVsAllListing, which derives all = new ∪ old internally):
+    // every emitted pair involves ≥1 new doc → no pair repeats across
+    // batches. Hot buckets come back as census-salted lanes (the batch
+    // salt formula) resolved in-task by the family's exact-verified
+    // forest — no unverified edges, matching the batch discipline.
+    val (mhCold, mhLanes) = Lsh.newVsAllListing(
+      newKeys, oldState("keys"), cfg.saltMaxBucket)
+    val (shColdL, shLanes) = Lsh.newVsAllListing(
+      newKeysSh, oldState("keys_sh"), cfg.saltMaxBucket)
+    val cands = mhCold.distinct().localCheckpoint(false, ser)
+    val candsSh = shColdL.distinct().localCheckpoint(false, ser)
+    // previous committed snapshot: the lane seed (sound merge-emit —
+    // Lsh.seedUnion) AND the incremental-CC base below. Fresh per batch,
+    // so the no-pair-twice property holds exactly on this path.
+    val prevAssign = committedSnapshots(spark, s"$root/clusters")
+      .filter(_ < batchId).sorted.lastOption
+      .map(id => spark.read.parquet(s"$root/clusters/batch_id=$id"))
+    val mhLaneV = Lsh.jaccardIncrementalLanePairs(
+        Lsh.withLaneSeeds(mhLanes, prevAssign)
+          .join(spark.read.parquet(s"$root/shingled")
+            .select("doc_id", "shingles"), "doc_id"),
+        cfg.jaccardThreshold)
       .localCheckpoint(false, ser)
-    val candsSh = Lsh
-      .newVsAllCandidatePairs(newKeysSh, oldState("keys_sh"), cfg.saltMaxBucket)
+    val shLaneV = Lsh.hammingIncrementalLanePairs(
+        Lsh.withLaneSeeds(shLanes, prevAssign)
+          .join(spark.read.parquet(s"$root/simhashes")
+            .select("doc_id", "simhash"), "doc_id"),
+        cfg.hammingThreshold)
       .localCheckpoint(false, ser)
-    // one union action materializes both candidate checkpoints (the
-    // families overlap across the pool — the batch paths' discipline) and
-    // yields the counts gating the verify restrictions
+    // one union action materializes all four checkpoints (the families
+    // overlap across the pool — the batch paths' discipline) and yields
+    // the counts gating the verify restrictions
     val famCounts = cands.select(lit("mh").as("fam"))
       .unionByName(candsSh.select(lit("sh").as("fam")))
+      .unionByName(mhLaneV.select(lit("mhv").as("fam")))
+      .unionByName(shLaneV.select(lit("shv").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     verifiedNewPairs(spark, root, cands, famCounts.getOrElse("mh", 0L), cfg)
+      .select("a", "b").unionByName(mhLaneV)
       .withColumn("family", lit("minhash"))
       .unionByName(
         verifiedNewPairsHamming(spark, root, candsSh,
           famCounts.getOrElse("sh", 0L), cfg)
+          .select("a", "b").unionByName(shLaneV)
           .withColumn("family", lit("simhash")))
+      // a pair colliding on a cold key AND a hot lane key would otherwise
+      // land twice in this batch's partition (the day path dedupes the
+      // same case inside Lsh.dupPairs)
+      .dropDuplicates("a", "b", "family")
       .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$batchId")
     // Incremental CC over the CONTRACTED history: the previous committed
     // snapshot's (doc_id, cluster_id) rows are a spanning star of every
@@ -298,10 +326,8 @@ object StreamingDedup {
     // batch_id dir (same replay-overwrite idempotence as the state
     // tables): a replayed batch recomputes from the SAME prior snapshot
     // (strictly smaller batch_id) and overwrites only its own output.
-    val prevEdges = committedSnapshots(spark, s"$root/clusters")
-      .filter(_ < batchId).sorted.lastOption
-      .map(id => spark.read.parquet(s"$root/clusters/batch_id=$id")
-        .select(col("doc_id").as("a"), col("cluster_id").as("b")))
+    val prevEdges = prevAssign
+      .map(_.select(col("doc_id").as("a"), col("cluster_id").as("b")))
     val newPairs = spark.read.parquet(s"$root/pairs/batch_id=$batchId").select("a", "b")
     ConnectedComponents.assign(
         prevEdges.fold(newPairs)(_.unionByName(newPairs)))

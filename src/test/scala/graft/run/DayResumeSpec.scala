@@ -157,6 +157,48 @@ class DayResumeSpec extends SparkSuite {
     assert(appended === fresh, "two-day append must equal the from-scratch clusters")
   }
 
+  test("HOT-regime day-append: seeded verified lanes, parity with from-scratch") {
+    // saltMaxBucket=8 makes the generator's 5% boilerplate clique hot in
+    // every band, so the append path exercises the census-salted lane
+    // forests (seeded merge-emit), not just the cold new×all listing.
+    val hot = cfg.copy(saltMaxBucket = 8)
+    val pages = PagesGen.pages(spark, 400, hot).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(4)) * 86400L))
+    val days = pages.select(date_trunc("day", col("warc_ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    val in3 = tmpRoot() + "/in3.parquet"
+    val in4 = tmpRoot() + "/in4.parquet"
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(3))).write.parquet(in3)
+    pages.write.parquet(in4)
+    val root = tmpRoot()
+    DedupMain.run(spark, in3, root, hot, "base").count()
+    val appended = DedupMain.run(spark, in4, root, hot, "app")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val freshRoot = tmpRoot()
+    val fresh = DedupMain.run(spark, in4, freshRoot, hot, "fresh")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    // the appended day's lane partition equals from-scratch's (identical
+    // full census), and the seeded lane ops re-examine every touched
+    // lane's pairs — on this fixture the clusters coincide exactly
+    assert(appended === fresh,
+      s"hot append diverged: only_app=${appended.map(_._1) -- fresh.map(_._1)} " +
+        s"only_fresh=${fresh.map(_._1) -- appended.map(_._1)}")
+    // every appended pair row is verified by construction: re-verify the
+    // day-4 partition's simhash pairs against the exact fingerprints
+    val fps = spark.read.parquet(s"$root/docs")
+      .select(col("doc_id"), graft.functions.Fns.simhash64(col("text"), hot).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val day4Pairs = spark.read.parquet(s"$root/dup_pairs")
+      .where(col("warc_day") === lit(days(3)) && col("family") === "simhash")
+      .select("a", "b").as[(Long, Long)].collect()
+    day4Pairs.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) <= hot.hammingThreshold,
+        s"appended simhash pair ($a,$b) is not exact-verified")
+    }
+  }
+
   test("keepBest quality dedup on the staged path: append invalidates it, parity with from-scratch") {
     val pages = PagesGen.pages(spark, 160, cfg).toDF()
       .withColumn("warc_ts",

@@ -228,7 +228,7 @@ object ScalingBench {
         fs.delete(new org.apache.hadoop.fs.Path(r), true)
         // bucketed stage tables live in the warehouse dir, not under the
         // root — a stale LOCATION from a previous JVM blocks saveAsTable
-        Seq("shingled", "signatures").foreach { st =>
+        Seq("shingled", "signatures", "band_keys").foreach { st =>
           val tbl = graft.run.Checkpoint.bucketedTableName(r, st)
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
           fs.delete(new org.apache.hadoop.fs.Path(s"$localDir/warehouse/$tbl"), true)

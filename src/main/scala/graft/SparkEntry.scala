@@ -241,6 +241,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // G5 generalized — the cluster table under an ARBITRARY labeling
+    // (each component relabeled to its MAX member): size and the
+    // min-member canonical flag must hold for any labels, via the same
+    // window-free partial-aggregating groupBy (r5, ADVICE #4).
+    "q34_cluster_table" -> ((s, dir) => {
+      val asg = ConnectedComponents.assign(Lsh.minhashDupPairs(docs(s, dir), cfg))
+      val relabeled = asg.groupBy("cluster_id").agg(max("doc_id").as("lbl"))
+        .join(asg, "cluster_id")
+        .select(col("doc_id"), col("lbl").as("cluster_id"))
+      ConnectedComponents.clusters(relabeled).orderBy("doc_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -384,6 +396,15 @@ object SparkEntry {
          |LEFT JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM keep)
          |ORDER BY d.doc_id""".stripMargin,
+    "q34_cluster_table" ->
+      s"""WITH cl AS ($bruteClustersSql),
+         |lab AS (SELECT cluster_id, max(doc_id) AS lbl, count(*) AS cluster_size,
+         |               min(doc_id) AS mn
+         |        FROM cl GROUP BY cluster_id)
+         |SELECT c.doc_id, l.lbl AS cluster_id, l.cluster_size,
+         |       c.doc_id = l.mn AS is_canonical
+         |FROM cl c JOIN lab l ON c.cluster_id = l.cluster_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q30_substr_containment" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,

@@ -127,6 +127,33 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("key-bucketed band_keys table: hot census aggregates without an Exchange") {
+    // the persisted band_keys stage is bucketed by KEY so the per-append
+    // hot census (groupBy key) and the new×all bucket joins read it
+    // Exchange-free on the stored (heavy) side — the layout that keeps a
+    // day-append's shuffle proportional to the day, not the corpus
+    val t = "band_keys_plan_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+    val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)
+      .select("doc_id", "key")
+    graft.sources.TableIO.writeBucketed(
+      keys.repartition(8, col("key")), t, 8, "key", Some("key"))
+    val census = spark.table(t).groupBy("key").count()
+    val plan = physicalPlan(census)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"census over the key-bucketed table must not shuffle:\n$plan")
+    assert(census.count() > 0)
+  }
+
   test("facade verify joins are candidate-restricted via a broadcast semi-join") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")

@@ -428,9 +428,23 @@ object Lsh {
     val capped = if (cap <= 0) Int.MaxValue else cap
     val spark = newKeys.sparkSession
     import spark.implicits._
+    // Restrict the old side to keys the increment TOUCHES before anything
+    // else: a key with no new member yields no candidate (the cold join is
+    // inner on newKeys' keys) and no resolved lane (lanes are new-touched
+    // by the semi-join below), and for touched keys the semi-join keeps
+    // every member row, so the census counts, salt formula and both
+    // listings are output-IDENTICAL — while the census + cold-join + lane
+    // shuffles now scale with the increment's keys, not the accumulated
+    // corpus (pre-r5.2 the census shuffled corpus×bands rows per appended
+    // day / micro-batch — the last O(corpus) shuffle on the increment
+    // paths). The old side is scanned once by the semi-join; no broadcast
+    // hint, so AQE broadcasts day-scale key sets at runtime and a
+    // key-bucketed stored side (the persisted band_keys stage) shuffles
+    // only the new side in the sort-merge case.
     val allKeys = newKeys.select(col("doc_id"), col("key"))
       .withColumn("is_new", lit(true))
       .unionByName(oldKeys.select(col("doc_id"), col("key"))
+        .join(newKeys.select("key").distinct(), Seq("key"), "left_semi")
         .withColumn("is_new", lit(false)))
     val hotCounts = allKeys.groupBy("key").count().where(col("count") > capped)
       .select(col("key"),

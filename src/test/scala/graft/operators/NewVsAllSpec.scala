@@ -82,6 +82,38 @@ class NewVsAllSpec extends SparkSuite {
     }
   }
 
+  test("old-side keys untouched by the increment are irrelevant to both listings") {
+    // the r5.2 scale contract: the census + cold join + lane build are
+    // restricted to increment-touched keys BEFORE the census, so per-
+    // increment shuffle volume scales with the increment — provably
+    // output-identical because an untouched key yields no candidate and
+    // no touched lane. Fixture: old side carries a HOT bucket (key 99,
+    // 40 members > cap) and cold junk (keys 500+) that the new side
+    // never touches, plus genuinely shared keys.
+    val cap = 10
+    val shared = keysFixture(23L, 20).distinct
+    val docs = shared.map(_._1).distinct
+    val (newDocs, oldDocs) = docs.splitAt(docs.size / 3)
+    val newRows = shared.filter(r => newDocs.contains(r._1)) ++
+      newDocs.take(15).map(d => (d, 99L)) // new members make key 99 hot+touched
+    val oldRows = shared.filter(r => oldDocs.contains(r._1))
+    val untouched = (1000L until 1040L).map(d => (d, 99999L)) ++ // hot, untouched
+      (2000L until 2020L).map(d => (d, 500L + d % 7))            // cold junk
+    def run(old: Seq[(Long, Long)]) = {
+      val (cold, lanes) = Lsh.newVsAllListing(
+        newRows.toDF("doc_id", "key"), old.toDF("doc_id", "key"), cap)
+      (cold.as[(Long, Long)].collect().toSet,
+       lanes.as[(Long, Int, Long, Boolean)].collect().toSet)
+    }
+    val (coldA, lanesA) = run(oldRows)
+    val (coldB, lanesB) = run(oldRows ++ untouched)
+    assert(coldA === coldB,
+      "cold listing must not change when untouched old keys are added")
+    assert(lanesA === lanesB,
+      "lane rows must not change when an untouched hot old bucket is added")
+    assert(lanesA.nonEmpty, "fixture must actually exercise the hot path")
+  }
+
   test("incremental hamming lane forests: verified-only, new-involving, batch connectivity") {
     // one hot bucket; members' fingerprints: two planted Hamming-groups
     // plus isolates that verify with NOBODY. Three increments.

@@ -253,6 +253,15 @@ object SparkEntry {
       ConnectedComponents.clusters(relabeled).orderBy("doc_id")
     }),
 
+    // cross-corpus repeated-segment removal (CCNet/C4-style line dedup):
+    // every repeated segment keeps its globally-first occurrence, later
+    // repeats (cross-doc AND within-doc) are dropped, text rebuilt in
+    // order. Testdata text carries no newlines, so the driver query
+    // exercises the machinery at word granularity (sep " "); real
+    // pipelines pass "\n" / "\n{2,}" (TextOpsSpec covers those).
+    "q35_seg_dedup" -> ((s, dir) =>
+      TextOps.removeRepeatedSegments(docs(s, dir), " ", " ").orderBy("doc_id")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -405,6 +414,21 @@ object SparkEntry {
          |       c.doc_id = l.mn AS is_canonical
          |FROM cl c JOIN lab l ON c.cluster_id = l.cluster_id
          |ORDER BY c.doc_id""".stripMargin,
+    "q35_seg_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS seg,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |kept AS (SELECT doc_id, pos, seg FROM (
+        |  SELECT doc_id, pos, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q30_substr_containment" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,

@@ -118,6 +118,42 @@ object TextOps {
   def langIdRollup(docs: DataFrame): DataFrame =
     langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
 
+  /** Cross-corpus repeated-segment removal — the CCNet/C4-style line- or
+    * paragraph-level dedup a web-text training pipeline runs AFTER
+    * document-level dedup: every segment (line, paragraph — `sep` is the
+    * caller's delimiter regex) that repeats anywhere in the corpus keeps
+    * exactly its globally-FIRST occurrence (min (doc_id, position)) and is
+    * dropped everywhere else, including later repeats inside the winning
+    * doc itself. Returns (doc_id, text) with surviving segments rejoined
+    * by `joinWith` in original order; docs that lose every segment come
+    * back with "" (the caller's quality filter drops them).
+    *
+    * Scale shape: segments shuffle as 8-byte xxhash64 keys (the exact-
+    * dedup trade — text never shuffles into the winner groupBy); the
+    * winner per hash is one partial-aggregating min(struct(doc_id, pos))
+    * groupBy, no per-segment window (a boilerplate line occurring 10^9
+    * times is a single reduce key, and the keep-join against the one-row-
+    * per-hash winner table is AQE-skew-splittable); the per-doc rebuild
+    * groups on doc_id, bounded by document size. */
+  def removeRepeatedSegments(docs: DataFrame, sep: String,
+                             joinWith: String): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+        posexplode(split(col("text"), sep)).as(Seq("pos", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    val winners = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    val kept = segs.join(winners, "h")
+      .where(col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")),
+        joinWith).as("text"))
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Document fingerprinting (brief: rolling hash): the winnowed
     * content-defined rolling-hash fingerprint set per doc — the same
     * family the exact-substring index uses, exposed as a per-doc feature

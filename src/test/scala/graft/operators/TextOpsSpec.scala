@@ -71,4 +71,29 @@ class TextOpsSpec extends SparkSuite {
     assert(got(4L) === "und")  // no tokens
     assert(got(5L) === "es")   // 'la' x3 (es and fr share 'la'... es priority)
   }
+
+  test("removeRepeatedSegments: first occurrence wins, within-doc repeats drop, empty docs survive") {
+    // line-granular (sep "\n") — the CCNet/C4 web shape: a boilerplate
+    // footer shared by three docs survives only in doc 1 (min doc_id),
+    // doc 3 repeats its own line (second copy dropped), doc 4 is ALL
+    // boilerplate (comes back empty, not missing)
+    val docs = Seq(
+      (1L, "unique one\nshared footer\nunique two"),
+      (2L, "other text\nshared footer"),
+      (3L, "repeat me\nrepeat me\nmiddle\nshared footer"),
+      (4L, "shared footer")
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeRepeatedSegments(docs, "\n", "\n")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "unique one\nshared footer\nunique two",
+      2L -> "other text",
+      3L -> "repeat me\nmiddle",
+      4L -> ""))
+    // determinism across parallelism/row order: reversed input, same output
+    val rev = TextOps.removeRepeatedSegments(
+        docs.orderBy(col("doc_id").desc).repartition(7), "\n", "\n")
+      .as[(Long, String)].collect().toMap
+    assert(rev === got)
+  }
 }

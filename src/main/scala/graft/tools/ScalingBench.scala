@@ -285,6 +285,52 @@ object ScalingBench {
       spark.stop(); return
     }
 
+    // streaming-bridge throughput mode: K disjoint micro-batches of the
+    // corpus driven through StreamingDedup.processBatch — the foreachBatch
+    // bridge's exact per-batch body (state appends, touched-key new×all,
+    // verified lane forests, incremental CC, periodic compaction). The
+    // claim under measure is FLATNESS: per-batch wall must track the
+    // batch, not the accumulated stream (early-vs-late batch walls are
+    // reported side by side), with state file counts bounded by
+    // compaction. Batches split by hashed doc_id — disjoint,
+    // deterministic, size n/K each.
+    if (sys.env.contains("SPARK_GRAFT_STREAM")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val k = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "16").toInt
+      val root = s"$localDir/graft_stream_root_${n}_k$k"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val walls = (0 until k).map { i =>
+        val b = DedupMain.toDocs(spark.read.parquet(corpus))
+          .where(pmod(xxhash64(col("doc_id")), lit(k)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingDedup.processBatch(b, i.toLong, cfg, root)
+        val w = (System.nanoTime() - t0) / 1e9
+        dropAllBlocks()
+        println(f"  stream-batch $i%3d wall=$w%7.1fs")
+        w
+      }
+      val clustered = graft.streaming.StreamingDedup.latestClusters(spark, root).count()
+      def stateFiles(dir: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
+        if (!fs.exists(p)) 0
+        else {
+          val it = fs.listFiles(p, true)
+          var c = 0
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+          c
+        }
+      }
+      def avg(xs: Seq[Double]) = xs.sum / xs.length
+      println(s"""{"bench":"stream","docs":$n,"cpus":$cpus,"batches":$k,""" +
+        s""""total_sec":${walls.sum},"first4_avg_sec":${avg(walls.take(4))},""" +
+        s""""last4_avg_sec":${avg(walls.takeRight(4))},""" +
+        s""""docs_per_sec":${n / walls.sum},"clustered_docs":$clustered,""" +
+        s""""state_files":{"keys":${stateFiles("keys")},"keys_sh":${stateFiles("keys_sh")},""" +
+        s""""shingled":${stateFiles("shingled")},"simhashes":${stateFiles("simhashes")}}}""")
+      spark.stop(); return
+    }
+
     if (!sys.env.contains("SPARK_GRAFT_NOWARM")) { pipelineCount(); dropAllBlocks() }
     var clustered = 0L
     val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>

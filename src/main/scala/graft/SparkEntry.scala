@@ -262,6 +262,27 @@ object SparkEntry {
     "q35_seg_dedup" -> ((s, dir) =>
       TextOps.removeRepeatedSegments(docs(s, dir), " ", " ").orderBy("doc_id")),
 
+    // URL canonicalization + latest-crawl-wins dedup (web re-crawl op):
+    // deterministic synthetic URLs (mixed-case authority, default port,
+    // trailing slash, tracking params, fragment — the variant classes the
+    // canonicalizer must collapse) built IDENTICALLY in the oracle.
+    "q36_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTP://W"), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), (col("doc_id") % 5).cast("string"),
+        lit("&utm_source=feed"),
+        when(col("doc_id") % 2 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#sec"), (col("doc_id") % 9).cast("string"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"), max("doc_id").as("keep_doc"))
+        .orderBy("canon_url")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -429,6 +450,42 @@ object SparkEntry {
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q36_url_dedup" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'HTTP://W' || source || '.Example.COM' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+        |    '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '&utm_source=feed' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+        |    '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u0),
+        |c2 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) ||
+        |    substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1) AS u
+        |  FROM c1),
+        |c3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(u,
+        |      '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'),
+        |      '^(https://[^/:?#]+):443([/?].*)?$', '\1\2') AS u FROM c2),
+        |c4 AS (SELECT doc_id,
+        |    regexp_replace(CASE WHEN strpos(u, '?') = 0 THEN u
+        |                        ELSE substr(u, 1, strpos(u, '?') - 1) END, '/$', '') AS base,
+        |    CASE WHEN strpos(u, '?') = 0 THEN NULL
+        |         ELSE substr(u, strpos(u, '?') + 1) END AS q
+        |  FROM c3),
+        |c5 AS (SELECT doc_id, base, q,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p <> ''), '&') AS q2
+        |  FROM c4),
+        |c6 AS (SELECT doc_id,
+        |    CASE WHEN q IS NULL OR q2 = '' THEN base ELSE base || '?' || q2 END AS canon_url
+        |  FROM c5)
+        |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
+        |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     "q30_substr_containment" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,

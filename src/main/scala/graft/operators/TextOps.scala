@@ -118,6 +118,35 @@ object TextOps {
   def langIdRollup(docs: DataFrame): DataFrame =
     langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
 
+  /** URL canonicalization — the web-pipeline re-crawl rule: two fetches of
+    * the "same page" must collide on one key before latest-crawl-wins
+    * dedup. Pinned, order-sensitive normalization (each step 1:1
+    * replicable in the DuckDB oracle — RE2-safe patterns, no lookaround):
+    *   1. drop the fragment (`#...`);
+    *   2. lowercase scheme + authority (path/query case preserved);
+    *   3. drop default ports (`http://h:80`, `https://h:443`);
+    *   4. drop tracking params (`utm_*`, `fbclid`, `gclid`) and empty
+    *      params from the query, preserving the rest in order; a query
+    *      left empty drops its `?`;
+    *   5. strip one trailing slash from the path.
+    * Pure builtins (regex + split/filter/array_join) — whole-stage
+    * codegen, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val head = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head), noFrag.substr(length(head) + 1, lit(1 << 30)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?].*)?$", "$1$2"),
+      "^(https://[^/:?#]+):443([/?].*)?$", "$1$2")
+    val qpos = instr(noPort, "?")
+    val base = regexp_replace(substring_index(noPort, "?", 1), "/$", "")
+    val qstr = when(qpos > 0, noPort.substr(qpos + 1, lit(1 << 30)))
+    val keptParams = filter(split(qstr, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=") && p =!= "")
+    val q2 = array_join(keptParams, "&")
+    when(qstr.isNull || q2 === "", base).otherwise(concat(base, lit("?"), q2))
+  }
+
   /** Cross-corpus repeated-segment removal — the CCNet/C4-style line- or
     * paragraph-level dedup a web-text training pipeline runs AFTER
     * document-level dedup: every segment (line, paragraph — `sep` is the

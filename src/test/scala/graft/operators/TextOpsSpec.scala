@@ -72,6 +72,30 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === "es")   // 'la' x3 (es and fr share 'la'... es priority)
   }
 
+  test("canonicalizeUrl collapses the re-crawl variant classes, preserves the rest") {
+    val cases = Seq(
+      // fragment + mixed-case authority + default port + trailing slash + tracking
+      ("HTTP://Ex.COM:80/a/b/?id=3&utm_source=x&fbclid=z#frag",
+       "http://ex.com/a/b?id=3"),
+      ("https://Ex.com:443/a", "https://ex.com/a"),
+      // non-default port, path case, non-tracking params preserved in order
+      ("http://ex.com:8080/A/B?z=1&a=2", "http://ex.com:8080/A/B?z=1&a=2"),
+      // query entirely tracking → '?' dropped; empty params dropped
+      ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
+      ("http://ex.com/p?&id=1&", "http://ex.com/p?id=1"),
+      // bare host, no query, no slash — untouched
+      ("http://ex.com", "http://ex.com"),
+      ("http://ex.com/", "http://ex.com"),
+      // gclid dropped mid-query, utm_ prefix needs '='
+      ("http://ex.com/p?a=1&gclid=g&b=2", "http://ex.com/p?a=1&b=2"),
+      ("http://ex.com/p?utm_x", "http://ex.com/p?utm_x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), c) =>
+      assert(c === want, s"canonicalizeUrl($in)")
+    }
+  }
+
   test("removeRepeatedSegments: first occurrence wins, within-doc repeats drop, empty docs survive") {
     // line-granular (sep "\n") — the CCNet/C4 web shape: a boilerplate
     // footer shared by three docs survives only in doc 1 (min doc_id),

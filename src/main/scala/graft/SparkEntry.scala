@@ -283,6 +283,23 @@ object SparkEntry {
         .orderBy("canon_url")
     }),
 
+    // PII scrub (pre-training redaction pass): deterministic synthetic
+    // PII spliced into the real text (emails, dotted+dashed phones, IPs —
+    // built IDENTICALLY in the oracle), then census + typed redaction.
+    "q37_pii_scrub" -> ((s, dir) => {
+      val spiked = docs(s, dir).select(col("doc_id"), concat(
+        lit("user"), (col("doc_id") % 20).cast("string"),
+        lit("@mail"), (col("doc_id") % 3).cast("string"), lit(".com "),
+        col("text"),
+        lit(" call 555-867-530"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" or 555.123.450"), (col("doc_id") % 10).cast("string")))
+          .otherwise(lit("")),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 254 + 1).cast("string")).as("text"))
+      TextOps.piiScrub(spiked).orderBy("doc_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -486,6 +503,28 @@ object SparkEntry {
         |  FROM c5)
         |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
         |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q37_pii_scrub" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    'user' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '@mail' || CAST(doc_id % 3 AS VARCHAR) || '.com ' ||
+        |    text ||
+        |    ' call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' or 555.123.450' || CAST(doc_id % 10 AS VARCHAR)
+        |         ELSE '' END ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST(doc_id % 254 + 1 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+        |FROM sp ORDER BY doc_id""".stripMargin,
     "q30_substr_containment" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,

@@ -118,6 +118,36 @@ object TextOps {
   def langIdRollup(docs: DataFrame): DataFrame =
     langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
 
+  /** PII patterns for the pre-training scrub pass — pinned, RE2-safe (no
+    * lookaround/backrefs) so the DuckDB oracle replicates them verbatim.
+    * Redaction order is part of the contract (email → phone → IP: dotted
+    * phones would otherwise partially match the IP pattern). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact PII spans with typed placeholders (global, leftmost-first —
+    * identical semantics in Spark and RE2). Pure builtins, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+
+  /** Per-doc PII census + redacted text — the audit table a scrub stage
+    * emits (counts BEFORE redaction, from the same pinned patterns). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(ipPattern), lit(0)))
+        .cast("long").as("n_ips"),
+      redactPii(col("text")).as("text_redacted"))
+
   /** URL canonicalization — the web-pipeline re-crawl rule: two fetches of
     * the "same page" must collide on one key before latest-crawl-wins
     * dedup. Pinned, order-sensitive normalization (each step 1:1

@@ -72,6 +72,29 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === "es")   // 'la' x3 (es and fr share 'la'... es priority)
   }
 
+  test("piiScrub counts and redacts emails, phones, IPs with pinned order") {
+    // emails assembled by concatenation (a literal address in source
+    // would itself be scrubbed by repo hygiene tooling)
+    val at = "@"
+    val d = Seq(
+      (1L, s"mail bob${at}ex.com and al.ice${at}sub.ex.org ok"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "host 192.168.0.1 and 10.0.255.254"),
+      // dotted phone must NOT half-match as an IP (redaction order pin)
+      (4L, "x 555.123.4567 y"),
+      (5L, "clean text, no pii at all"),
+      (6L, s"a${at}b.co 555-000-1111 127.0.0.1")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((2L, 0L, 0L, "mail <EMAIL> and <EMAIL> ok")))
+    assert(got(2L) === ((0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(got(3L) === ((0L, 0L, 2L, "host <IP> and <IP>")))
+    assert(got(4L) === ((0L, 1L, 0L, "x <PHONE> y")))
+    assert(got(5L) === ((0L, 0L, 0L, "clean text, no pii at all")))
+    assert(got(6L) === ((1L, 1L, 1L, "<EMAIL> <PHONE> <IP>")))
+  }
+
   test("canonicalizeUrl collapses the re-crawl variant classes, preserves the rest") {
     val cases = Seq(
       // fragment + mixed-case authority + default port + trailing slash + tracking

@@ -300,6 +300,14 @@ object SparkEntry {
       TextOps.piiScrub(spiked).orderBy("doc_id")
     }),
 
+    // deterministic stratified sampling (reproducible-subset op): keep
+    // iff substr(md5(doc_id),1,8) under a per-lang hex threshold — the
+    // exact kept SET is engine-portable and oracle-checked row by row.
+    "q38_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "lang",
+          Seq("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -503,6 +511,13 @@ object SparkEntry {
         |  FROM c5)
         |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
         |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q38_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${TextOps.sampleHexThreshold(0.5)}'
+         |            WHEN 'de' THEN '${TextOps.sampleHexThreshold(0.25)}'
+         |            ELSE '${TextOps.sampleHexThreshold(0.1)}' END
+         |ORDER BY doc_id""".stripMargin,
     "q37_pii_scrub" ->
       """WITH sp AS (
         |  SELECT doc_id,

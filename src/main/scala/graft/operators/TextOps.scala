@@ -118,6 +118,42 @@ object TextOps {
   def langIdRollup(docs: DataFrame): DataFrame =
     langId(docs).groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
 
+  /** Hex threshold for `deterministicSample`: keep a row iff the first 8
+    * hex chars of md5(key) sort below this string. 8 lowercase hex chars
+    * compare lexicographically == numerically (fixed width, '0'-'9' <
+    * 'a'-'f'), so the bound is round(frac · 2^32) rendered as %08x; frac
+    * ≥ 1 uses "g" (above every hex digit) to keep everything. */
+  private[graft] def sampleHexThreshold(frac: Double): String = {
+    require(frac >= 0.0, s"sample fraction must be >= 0, got $frac")
+    val t = math.round(frac * (1L << 32))
+    if (t >= (1L << 32)) "g" else f"$t%08x"
+  }
+
+  /** Deterministic, engine-portable sampling — the reproducible-subset op
+    * a training pipeline needs (same rows selected on any cluster, any
+    * partitioning, any engine): keep iff substr(md5(key), 1, 8) <
+    * threshold(frac). md5 of the decimal-rendered key is bit-identical
+    * across Spark and the DuckDB oracle (unlike xxhash64, whose seed is
+    * engine-private), selection is per-row with no shuffle, and the kept
+    * fraction concentrates around `frac` (binomial over 2^32 buckets). */
+  def deterministicSample(docs: DataFrame, frac: Double,
+                          keyCol: String = "doc_id"): DataFrame =
+    docs.where(
+      substring(md5(col(keyCol).cast("string")), 1, 8) <
+        lit(sampleHexThreshold(frac)))
+
+  /** Stratified variant: per-class fraction by `classCol` (a literal
+    * when-chain — codegen'd, no join), `default` for unlisted classes.
+    * The class rebalancing op (downsample dominant languages/sources). */
+  def stratifiedSample(docs: DataFrame, classCol: String,
+                       fracs: Seq[(String, Double)], default: Double): DataFrame = {
+    val thr = fracs.foldRight(lit(sampleHexThreshold(default))) {
+      case ((cls, f), els) =>
+        when(col(classCol) === cls, lit(sampleHexThreshold(f))).otherwise(els)
+    }
+    docs.where(substring(md5(col("doc_id").cast("string")), 1, 8) < thr)
+  }
+
   /** PII patterns for the pre-training scrub pass — pinned, RE2-safe (no
     * lookaround/backrefs) so the DuckDB oracle replicates them verbatim.
     * Redaction order is part of the contract (email → phone → IP: dotted

@@ -72,6 +72,31 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === "es")   // 'la' x3 (es and fr share 'la'... es priority)
   }
 
+  test("deterministicSample: portable, partition-invariant, concentrated, edge fracs exact") {
+    val docs = (0L until 2000L).map(d => (d, s"t$d", "en")).toDF("doc_id", "text", "lang")
+    assert(TextOps.deterministicSample(docs, 0.0).count() === 0L)
+    assert(TextOps.deterministicSample(docs, 1.0).count() === 2000L)
+    val kept = TextOps.deterministicSample(docs, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // binomial(2000, 0.3): ±5 sigma ≈ ±102
+    assert(math.abs(kept.size - 600) < 110, s"kept ${kept.size} of 2000 at frac 0.3")
+    // identical set regardless of partitioning/order (the reproducibility contract)
+    val kept2 = TextOps.deterministicSample(
+        docs.orderBy(col("doc_id").desc).repartition(13), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === kept)
+    // monotone: a smaller fraction selects a SUBSET (threshold nesting)
+    val kept01 = TextOps.deterministicSample(docs, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept01.subsetOf(kept))
+    // stratified: per-class thresholds apply per row
+    val mixed = (0L until 1000L).map(d => (d, s"t$d", if (d % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val s = TextOps.stratifiedSample(mixed, "lang", Seq("en" -> 1.0), default = 0.0)
+    assert(s.select("lang").distinct().as[String].collect().toSeq === Seq("en"))
+    assert(s.count() === 500L)
+  }
+
   test("piiScrub counts and redacts emails, phones, IPs with pinned order") {
     // emails assembled by concatenation (a literal address in source
     // would itself be scrubbed by repo hygiene tooling)

@@ -308,6 +308,10 @@ object SparkEntry {
           Seq("en" -> 0.5, "de" -> 0.25), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // corpus vocabulary census (vocab/stopword-derivation table):
+    // token -> occurrences + doc frequency, deterministic top-k.
+    "q39_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docs(s, dir), 50)),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -511,6 +515,15 @@ object SparkEntry {
         |  FROM c5)
         |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
         |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q39_vocab_topk" ->
+      """SELECT token, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                            x -> len(x) > 0)) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin,
     "q38_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

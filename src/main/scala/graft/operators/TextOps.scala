@@ -249,6 +249,19 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Corpus vocabulary census: token → document frequency + total count,
+    * the table BPE/vocab construction and stopword derivation start from.
+    * Partial-aggregating groupBy on the token (a 10^9× token is one
+    * reduce key); top-k via sort+limit plans as TakeOrdered (no global
+    * sort materialization). Deterministic order: count desc, token asc. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+           count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   /** Document fingerprinting (brief: rolling hash): the winnowed
     * content-defined rolling-hash fingerprint set per doc — the same
     * family the exact-substring index uses, exposed as a per-doc feature

@@ -180,6 +180,13 @@ class PlanSpec extends SparkSuite {
       s"winner selection must not use a per-cluster window:\n$plan")
   }
 
+  test("vocab top-k plans as TakeOrdered, no global sort materialization") {
+    val docs = TestData.documents(spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(graft.operators.TextOps.vocabTopK(docs, 50))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered (per-partition heap + merge):\n$plan")
+  }
+
   test("cluster table has no per-cluster window (mega-cluster skew-safe)") {
     // a web-scale boilerplate component lands its whole `partition by
     // cluster_id` window on ONE task and AQE cannot split window skew —

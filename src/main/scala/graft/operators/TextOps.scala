@@ -136,22 +136,26 @@ object TextOps {
     * across Spark and the DuckDB oracle (unlike xxhash64, whose seed is
     * engine-private), selection is per-row with no shuffle, and the kept
     * fraction concentrates around `frac` (binomial over 2^32 buckets). */
+  /** The one keep-predicate both samplers share — a single definition of
+    * the key rendering keeps the nested-subsets contract between them. */
+  private def sampleKeep(keyCol: String, threshold: Column): Column =
+    substring(md5(col(keyCol).cast("string")), 1, 8) < threshold
+
   def deterministicSample(docs: DataFrame, frac: Double,
                           keyCol: String = "doc_id"): DataFrame =
-    docs.where(
-      substring(md5(col(keyCol).cast("string")), 1, 8) <
-        lit(sampleHexThreshold(frac)))
+    docs.where(sampleKeep(keyCol, lit(sampleHexThreshold(frac))))
 
   /** Stratified variant: per-class fraction by `classCol` (a literal
     * when-chain — codegen'd, no join), `default` for unlisted classes.
     * The class rebalancing op (downsample dominant languages/sources). */
   def stratifiedSample(docs: DataFrame, classCol: String,
-                       fracs: Seq[(String, Double)], default: Double): DataFrame = {
+                       fracs: Seq[(String, Double)], default: Double,
+                       keyCol: String = "doc_id"): DataFrame = {
     val thr = fracs.foldRight(lit(sampleHexThreshold(default))) {
       case ((cls, f), els) =>
         when(col(classCol) === cls, lit(sampleHexThreshold(f))).otherwise(els)
     }
-    docs.where(substring(md5(col("doc_id").cast("string")), 1, 8) < thr)
+    docs.where(sampleKeep(keyCol, thr))
   }
 
   /** PII patterns for the pre-training scrub pass — pinned, RE2-safe (no
@@ -233,14 +237,24 @@ object TextOps {
   def removeRepeatedSegments(docs: DataFrame, sep: String,
                              joinWith: String): DataFrame = {
     val segs = docs.select(col("doc_id"),
-        posexplode(split(col("text"), sep)).as(Seq("pos", "seg")))
-      .withColumn("h", xxhash64(col("seg")))
-    val winners = segs.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
-    val kept = segs.join(winners, "h")
-      .where(col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
-    val rebuilt = kept.groupBy("doc_id")
+      posexplode(split(col("text"), sep)).as(Seq("pos", "seg")))
+    // Identity = a 128-bit double hash (two independent xxhash64 streams
+    // via a domain-separation prefix): at 10^10 corpus segments a single
+    // 64-bit key has O(1) birthday collisions, and a collision here
+    // DELETES distinct content (the loser segment vanishes from its doc)
+    // rather than merely over-merging a dup group. The winner carries the
+    // segment inside the min-struct ((doc_id, pos) is unique, so seg
+    // never decides the min) — the kept set IS the winner set, no keep-
+    // join back against the occurrences; map-side partial aggregation
+    // collapses each partition's repeats before the shuffle, so shuffle
+    // volume tracks distinct segments per partition, not occurrences.
+    val winners = segs
+      .groupBy(xxhash64(col("seg")).as("h1"),
+               xxhash64(concat(lit("seg-id-2:"), col("seg"))).as("h2"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("seg"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"),
+              col("w.seg").as("seg"))
+    val rebuilt = winners.groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           x => x.getField("seg")),

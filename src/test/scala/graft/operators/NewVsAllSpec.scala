@@ -112,6 +112,7 @@ class NewVsAllSpec extends SparkSuite {
     assert(lanesA === lanesB,
       "lane rows must not change when an untouched hot old bucket is added")
     assert(lanesA.nonEmpty, "fixture must actually exercise the hot path")
+    assert(coldA.nonEmpty, "fixture must actually exercise the cold path")
   }
 
   test("incremental hamming lane forests: verified-only, new-involving, batch connectivity") {

@@ -516,9 +516,15 @@ object DedupMain {
     // is exact (same pair set as the batch path's cold cliques restricted
     // to new-involving pairs); above it, the census-salted lanes use the
     // IDENTICAL salt formula as the batch build and are resolved in-task
-    // by the family's exact-verified forest, emitting only new-involving
-    // merges — no unverified edge anywhere (a pairStarCap hub star here
-    // split clusters at 240k; r4's hub spokes were the same class)
+    // by the family's exact-verified forest — no unverified edge anywhere
+    // (a pairStarCap hub star here split clusters at 240k; r4's hub
+    // spokes were the same class). Touched-lane merges are usually
+    // new-involving but NOT exclusively: a lane may expose an old↔old
+    // drift link (census growth co-locating a pair no earlier lane saw),
+    // emitted deliberately (added true connectivity); under the stale
+    // multi-day seed the same pair may re-emit in a later pending day —
+    // duplicate day-partition rows, harmless to CC, bounded by drift
+    // (Lsh.seedUnion documents the soundness argument).
     val (mhCold, mhLanes) = Lsh.newVsAllListing(
       keys(isNew, "minhash"), keys(isOld, "minhash"), cfg.saltMaxBucket,
       Some(daySuppressed))

@@ -205,12 +205,20 @@ object StreamingDedup {
                 finally in.close()
     val maxId = folds.max
     StateTables.foreach { t =>
-      folds.foreach { id =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$id"), true)
-      }
       val src = new org.apache.hadoop.fs.Path(s"$root/_compact/$t/batch_id=$maxId")
-      if (fs.exists(src))
+      // Idempotence gate: a missing staged dir means THIS table's fold
+      // already finished in a previous FINISH attempt — the live
+      // batch_id=maxId dir holds the CONSOLIDATED rows now, and the
+      // folded-dir deletes below would destroy them with nothing left to
+      // rename in (the consolidated dir shares the maxId name with a
+      // folded dir). Crash mid-table (deletes done, rename pending) still
+      // recovers: src exists, deletes re-run as no-ops, rename completes.
+      if (fs.exists(src)) {
+        folds.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$id"), true)
+        }
         fs.rename(src, new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$maxId"))
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/_compact"), true)
   }

@@ -203,6 +203,7 @@ object ScalingBench {
       // DedupMain invocation (the multi-day ordered-context path) — the
       // append-wall-vs-#pending-days cost curve the verdict asked to pin
       val pendK = sys.env.getOrElse("SPARK_GRAFT_APPEND_DAYS", "1").toInt
+      require(pendK >= 1, s"SPARK_GRAFT_APPEND_DAYS must be >= 1, got $pendK")
       val days = all.select(date_trunc("day", col("warc_ts")).as("d"))
         .distinct().orderBy("d").collect().map(_.getTimestamp(0))
       require(days.length > pendK, s"append mode needs > $pendK crawl days " +

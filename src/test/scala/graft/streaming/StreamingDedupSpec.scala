@@ -172,16 +172,39 @@ class StreamingDedupSpec extends SparkSuite {
     val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
     StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
     StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
-    val rows = spark.read.parquet(s"$root/keys").count()
-    // run PREPARE+COMMIT, then simulate a crash before FINISH by calling
-    // compactState's internals: compactState itself finishes — so instead
-    // reconstruct the torn state: move the finished fold back to staging
+    val tables = Seq("keys", "keys_sh", "shingled", "simhashes")
+    val rows = tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
     StreamingDedup.compactState(spark, root, beforeBatch = 2L)
-    assert(spark.read.parquet(s"$root/keys").count() === rows,
-      "compaction must not change state content")
-    // idempotence: finishing again (the recovery path) is a no-op
+    tables.foreach(t => assert(spark.read.parquet(s"$root/$t").count() === rows(t),
+      s"compaction must not change $t content"))
+    // Now construct the REAL mid-FINISH crash state: COMMIT present,
+    // table "keys" ALREADY finished (its live batch_id=1 dir holds the
+    // consolidated rows, nothing staged), the other tables not yet
+    // finished (staged consolidated dirs present, live folded dirs
+    // present). A recovery that re-deletes folded dirs unconditionally
+    // destroys the finished table's consolidated data — the exact bug
+    // class this protocol exists to prevent.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    tables.filterNot(_ == "keys").foreach { t =>
+      // re-stage the unfinished tables: copy live consolidated -> staging,
+      // and split the live dir back into fake folded dirs 0 and 1
+      spark.read.parquet(s"$root/$t/batch_id=1")
+        .write.parquet(s"$root/_compact/$t/batch_id=1")
+      spark.read.parquet(s"$root/$t/batch_id=1").limit(0)
+        .write.mode("overwrite").parquet(s"$root/$t/batch_id=0")
+    }
+    val out = fs.create(p(s"$root/_compact/COMMIT"), true)
+    try out.write("0,1".getBytes("UTF-8")) finally out.close()
+    // recovery at next batch start
     StreamingDedup.finishCompaction(spark, root)
-    assert(spark.read.parquet(s"$root/keys").count() === rows)
+    tables.foreach(t => assert(spark.read.parquet(s"$root/$t").count() === rows(t),
+      s"$t content lost by torn-FINISH recovery"))
+    assert(!fs.exists(p(s"$root/_compact")), "staging must be dropped")
+    // and finishing again on the clean root is a no-op
+    StreamingDedup.finishCompaction(spark, root)
+    tables.foreach(t => assert(spark.read.parquet(s"$root/$t").count() === rows(t)))
   }
 
   test("pre-versioned state roots are refused, not silently resumed") {

@@ -312,6 +312,16 @@ object SparkEntry {
     // token -> occurrences + doc frequency, deterministic top-k.
     "q39_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docs(s, dir), 50)),
 
+    // benchmark decontamination: corpus docs sharing >= 3 distinct word
+    // 5-grams with a benchmark set (here: docs 0-19 as the stand-in eval
+    // set — near-dup planted docs also collide with it, so the table has
+    // non-self hits). The op every pipeline runs before training.
+    "q40_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contaminatedDocs(d, d.where(col("doc_id") < 20), 5, 3L)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -515,6 +525,21 @@ object SparkEntry {
         |  FROM c5)
         |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
         |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q40_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(w) - 4),
+        |                i -> array_to_string(w[i:i+4], ' '))) AS gram
+        |  FROM toks)),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 20)
+        |SELECT g.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM grams g JOIN bench b USING (gram)
+        |GROUP BY g.doc_id, b.bench_id
+        |HAVING count(*) >= 3
+        |ORDER BY g.doc_id, b.bench_id""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs

@@ -263,6 +263,41 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Distinct word n-grams of a text column (empty array below n tokens)
+    * — the contamination unit ([Lee22]-style decontamination uses n-gram
+    * overlap against evaluation sets). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination: every (corpus doc, benchmark item) pair
+    * sharing ≥ `minShared` distinct word `n`-grams — the table a training
+    * pipeline drops or flags before training so eval data never leaks in.
+    *
+    * Scale shape: both sides explode to DISTINCT grams and join on the
+    * gram's xxhash64 (8-byte shuffle keys, gram text never shuffles —
+    * the exact-dedup trade, 2^-64 per pair); the benchmark side is tiny
+    * in practice (evals are thousands of items vs 10^12 docs) so AQE
+    * broadcasts it and the corpus side never shuffles at all; the
+    * (doc, bench) count is a partial-aggregating groupBy. */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame,
+                       n: Int, minShared: Long): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+          explode(wordNgrams(col("text"), n)).as("gram"))
+        .select(col(idAs), xxhash64(col("gram")).as("h"))
+    grams(docs, "doc_id")
+      .join(grams(benchmark, "bench_id"), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Corpus vocabulary census: token → document frequency + total count,
     * the table BPE/vocab construction and stopword derivation start from.
     * Partial-aggregating groupBy on the token (a 10^9× token is one

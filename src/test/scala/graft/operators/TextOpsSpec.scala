@@ -97,6 +97,29 @@ class TextOpsSpec extends SparkSuite {
     assert(s.count() === 500L)
   }
 
+  test("contaminatedDocs finds n-gram overlap with a benchmark, counts distinct grams") {
+    val mk = (id: Long, t: String) => (id, t)
+    val d = Seq(
+      mk(1L, "a b c d e f g h"),          // grams with bench: abcde, bcdef, cdefg, defgh
+      mk(2L, "a b c d e x y z"),          // shares only abcde -> below minShared
+      mk(3L, "one two three four"),        // < 5 tokens, no grams
+      mk(4L, "p q r s t u"),               // disjoint
+      mk(10L, "a b c d e f g h")           // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val bench = d.where(col("doc_id") === 10L)
+    val got = TextOps.contaminatedDocs(d, bench, n = 5, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 and the bench doc itself share all 4 grams; doc 2 only 1
+    assert(got === Set((1L, 10L, 4L), (10L, 10L, 4L)))
+    // repeated grams inside a doc count once (array_distinct on both sides)
+    val rep = Seq(mk(20L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val got2 = TextOps.contaminatedDocs(rep, bench, 5, 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // "a b c d e" appears twice in doc 20 but is one distinct gram;
+    // its other grams (b c d e a, c d e a b, ...) are not in the bench
+    assert(got2 === Set((20L, 10L, 1L)))
+  }
+
   test("piiScrub counts and redacts emails, phones, IPs with pinned order") {
     // emails assembled by concatenation (a literal address in source
     // would itself be scrubbed by repo hygiene tooling)

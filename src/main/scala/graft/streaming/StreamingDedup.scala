@@ -193,7 +193,15 @@ object StreamingDedup {
   /** Idempotent FINISH phase of `compactState` — a no-op without a COMMIT
     * marker; otherwise deletes the folded batch dirs (no-op when already
     * gone) and moves each consolidated dir into the live table (no-op when
-    * already moved), then drops the staging dir. */
+    * already moved), then drops the staging dir.
+    *
+    * Every delete/rename RESULT is checked: HDFS-style FileSystems report
+    * failure by returning false (e.g. rename onto a dst a failed delete
+    * left behind) rather than throwing. Proceeding past a false here would
+    * drop the staging dir at the end — destroying the consolidated rows
+    * while the folded dirs are already gone. Aborting instead leaves
+    * `_compact` + COMMIT in place, so the next batch start retries the
+    * FINISH from exactly where it failed. */
   private[streaming] def finishCompaction(spark: org.apache.spark.sql.SparkSession,
                                           root: String): Unit = {
     val fs = rootFs(spark, root)
@@ -204,6 +212,14 @@ object StreamingDedup {
                   .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
                 finally in.close()
     val maxId = folds.max
+    // delete(nonexistent) also returns false — only a false on a path that
+    // STILL EXISTS is a failure (the already-gone case is the idempotent
+    // retry this phase is designed around)
+    def deleteChecked(p: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new java.io.IOException(
+          s"compaction FINISH: delete of $p failed; aborting so the staged " +
+            "consolidated state survives for the next recovery attempt")
     StateTables.foreach { t =>
       val src = new org.apache.hadoop.fs.Path(s"$root/_compact/$t/batch_id=$maxId")
       // Idempotence gate: a missing staged dir means THIS table's fold
@@ -215,12 +231,16 @@ object StreamingDedup {
       // recovers: src exists, deletes re-run as no-ops, rename completes.
       if (fs.exists(src)) {
         folds.foreach { id =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$id"), true)
+          deleteChecked(new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$id"))
         }
-        fs.rename(src, new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$maxId"))
+        val dst = new org.apache.hadoop.fs.Path(s"$root/$t/batch_id=$maxId")
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"compaction FINISH: rename $src -> $dst failed; aborting so " +
+              "COMMIT stays in place for the next recovery attempt")
       }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_compact"), true)
+    deleteChecked(new org.apache.hadoop.fs.Path(s"$root/_compact"))
   }
 
   /** Drop superseded cluster snapshots, keeping the `keep` most recent
@@ -252,6 +272,18 @@ object StreamingDedup {
     // batch-dir backlog before reading state
     ensureStateFormat(spark, root)
     finishCompaction(spark, root)
+    // Stale-replay guard: the per-batch-dir Overwrite idempotence below is
+    // only sound for the NEWEST batch (what the streaming engine actually
+    // re-delivers). Re-delivering an id that a compaction consolidated
+    // would overwrite `batch_id=<id>` — which now holds the folded state of
+    // EVERY earlier batch — with one batch's rows. processBatch is public
+    // (tests, ScalingBench drive it directly), so fail loudly instead.
+    committedSnapshots(spark, s"$root/keys").reduceOption(_ max _).foreach { newest =>
+      require(batchId >= newest,
+        s"batch $batchId is older than the newest committed state dir " +
+          s"($newest) at $root — replaying it would overwrite consolidated " +
+          "state with one batch's rows; only the newest batch may be replayed")
+    }
     if (compactEvery > 0 &&
         committedSnapshots(spark, s"$root/keys").count(_ < batchId) >= compactEvery)
       compactState(spark, root, batchId)

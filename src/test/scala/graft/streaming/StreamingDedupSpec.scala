@@ -6,6 +6,18 @@ import graft.sources.PagesGen
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Local FileSystem that reports delete failure HDFS-style (returns false,
+  * nothing deleted) for paths containing `failOn` — the failure mode the
+  * compaction FINISH must abort on instead of proceeding. */
+class FailingDeleteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faildel"
+  override def getUri: java.net.URI = java.net.URI.create("faildel:///")
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+    if (FailingDeleteFs.failOn.exists(p.toString.contains)) false
+    else super.delete(p, recursive)
+}
+object FailingDeleteFs { @volatile var failOn: Option[String] = None }
+
 class StreamingDedupSpec extends SparkSuite {
   import spark.implicits._
   private val cfg = DedupConfig.test
@@ -204,6 +216,67 @@ class StreamingDedupSpec extends SparkSuite {
     assert(!fs.exists(p(s"$root/_compact")), "staging must be dropped")
     // and finishing again on the clean root is a no-op
     StreamingDedup.finishCompaction(spark, root)
+    tables.foreach(t => assert(spark.read.parquet(s"$root/$t").count() === rows(t)))
+  }
+
+  test("a stale batch replay is refused, not silently applied") {
+    // processBatch is public (ScalingBench and tests drive it directly);
+    // re-delivering an id older than the newest committed state dir would
+    // overwrite `batch_id=<id>` — after a compaction that dir holds the
+    // folded state of every earlier batch — with one batch's rows
+    val docs = PagesGen.docs(spark, 120, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    val err = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    }
+    assert(err.getMessage.contains("older than the newest committed"))
+    // replaying the NEWEST batch stays allowed (the streaming engine's case)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+  }
+
+  test("a false delete during FINISH aborts instead of destroying staged state") {
+    // HDFS-style FileSystems report failure by RETURNING FALSE, not
+    // throwing. Proceeding past one would reach the final staging-dir drop
+    // with the folded dirs already gone — silent loss of all folded state.
+    // The FINISH must abort, leaving _compact + COMMIT for the next retry.
+    val docs = PagesGen.docs(spark, 120, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-faildel").toString
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    val tables = Seq("keys", "keys_sh", "shingled", "simhashes")
+    val rows = tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
+    // fabricate a committed-but-unfinished fold (the PREPARE+COMMIT state)
+    tables.foreach { t =>
+      spark.read.parquet(s"$root/$t").drop("batch_id")
+        .write.parquet(s"$root/_compact/$t/batch_id=1")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val out = fs.create(p(s"$root/_compact/COMMIT"), true)
+    try out.write("0,1".getBytes("UTF-8")) finally out.close()
+    // route the recovery through a FileSystem whose delete returns false
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faildel.impl", classOf[FailingDeleteFs].getName)
+    FailingDeleteFs.failOn = Some("batch_id=0")
+    try {
+      val err = intercept[java.io.IOException] {
+        StreamingDedup.finishCompaction(spark, s"faildel://$root")
+      }
+      assert(err.getMessage.contains("delete"))
+    } finally FailingDeleteFs.failOn = None
+    // nothing destroyed: COMMIT + every staged dir still present, live
+    // tables intact — the retry can complete
+    assert(fs.exists(p(s"$root/_compact/COMMIT")), "COMMIT must survive the abort")
+    tables.foreach { t =>
+      assert(fs.exists(p(s"$root/_compact/$t/batch_id=1")), s"staged $t lost")
+      assert(spark.read.parquet(s"$root/$t").count() === rows(t), s"live $t changed")
+    }
+    // the retry (healthy FileSystem) completes the fold with content intact
+    StreamingDedup.finishCompaction(spark, root)
+    assert(!fs.exists(p(s"$root/_compact")))
     tables.foreach(t => assert(spark.read.parquet(s"$root/$t").count() === rows(t)))
   }
 

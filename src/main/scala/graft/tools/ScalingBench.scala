@@ -28,6 +28,10 @@ object ScalingBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cfg = DedupConfig.test
     val corpus = s"/tmp/graft_scale_corpus_$n"
+    // self-bracketing ambient calibration (VERDICT_r5 #7): measured lazily
+    // at JSON-print time, so the ceiling reflects the window the measured
+    // walls actually ran in
+    lazy val burn = Burn.measure()
 
     // shuffle files on tmpfs when available: local[N] puts all N "executors"
     // on one NVMe, which saturates at ~8 writer threads and caps measured
@@ -108,7 +112,7 @@ object ScalingBench {
       val wall = walls.min
       println(s"""{"bench":"kernel-${sys.env("SPARK_GRAFT_KERNEL")}","docs":$rows,""" +
         s""""cpus":$cpus,"wall_sec":$wall,"walls":[${walls.mkString(",")}],""" +
-        s""""docs_per_sec":${rows / wall}}""")
+        s""""docs_per_sec":${rows / wall},${burn.json}}""")
       spark.stop(); return
     }
 
@@ -182,7 +186,7 @@ object ScalingBench {
       val best = walls.min
       println(s"""{"bench":"scaling-main","docs":$n,"cpus":$cpus,"wall_sec":$best,""" +
         s""""walls":[${walls.mkString(",")}],""" +
-        s""""docs_per_sec":${n / best},"clustered_docs":$clustered}""")
+        s""""docs_per_sec":${n / best},"clustered_docs":$clustered,${burn.json}}""")
       spark.stop(); return
     }
     // day-append evidence mode: the corpus's natural warc_ts span (~11
@@ -282,7 +286,7 @@ object ScalingBench {
         s""""clustered_docs_full":$cFull,""" +
         s""""docs_only_in_append":$onlyAppend,"docs_only_in_full":$onlyFull,""" +
         s""""common_docs_disagreeing":$disagree,""" +
-        s""""clusters_identical":${onlyAppend + onlyFull + disagree == 0L}}""")
+        s""""clusters_identical":${onlyAppend + onlyFull + disagree == 0L},${burn.json}}""")
       spark.stop(); return
     }
 
@@ -328,7 +332,7 @@ object ScalingBench {
         s""""last4_avg_sec":${avg(walls.takeRight(4))},""" +
         s""""docs_per_sec":${n / walls.sum},"clustered_docs":$clustered,""" +
         s""""state_files":{"keys":${stateFiles("keys")},"keys_sh":${stateFiles("keys_sh")},""" +
-        s""""shingled":${stateFiles("shingled")},"simhashes":${stateFiles("simhashes")}}}""")
+        s""""shingled":${stateFiles("shingled")},"simhashes":${stateFiles("simhashes")}},${burn.json}}""")
       spark.stop(); return
     }
 
@@ -344,7 +348,7 @@ object ScalingBench {
     val best = walls.min
     println(s"""{"bench":"scaling","docs":$n,"cpus":$cpus,"wall_sec":$best,""" +
       s""""walls":[${walls.mkString(",")}],""" +
-      s""""docs_per_sec":${n / best},"clustered_docs":$clustered}""")
+      s""""docs_per_sec":${n / best},"clustered_docs":$clustered,${burn.json}}""")
     spark.stop()
   }
 }

@@ -480,10 +480,13 @@ object SparkEntry {
         |         unnest(string_split(text, ' ')) AS seg,
         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
         |  FROM documents),
-        |kept AS (SELECT doc_id, pos, seg FROM (
-        |  SELECT doc_id, pos, seg,
-        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-        |  FROM segs) WHERE rn = 1)
+        |kept AS (
+        |  SELECT doc_id, pos, seg FROM (
+        |    SELECT doc_id, pos, seg,
+        |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |    FROM segs WHERE seg <> '') WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, seg FROM segs WHERE seg = '')
         |SELECT d.doc_id,
         |       coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
@@ -508,11 +511,11 @@ object SparkEntry {
         |  FROM c1),
         |c3 AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(u,
-        |      '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'),
-        |      '^(https://[^/:?#]+):443([/?].*)?$', '\1\2') AS u FROM c2),
+        |      '^(http://[^/?#]+):80([/?].*)?$', '\1\2'),
+        |      '^(https://[^/?#]+):443([/?].*)?$', '\1\2') AS u FROM c2),
         |c4 AS (SELECT doc_id,
         |    regexp_replace(CASE WHEN strpos(u, '?') = 0 THEN u
-        |                        ELSE substr(u, 1, strpos(u, '?') - 1) END, '/$', '') AS base,
+        |                        ELSE substr(u, 1, strpos(u, '?') - 1) END, '/+$', '') AS base,
         |    CASE WHEN strpos(u, '?') = 0 THEN NULL
         |         ELSE substr(u, strpos(u, '?') + 1) END AS q
         |  FROM c3),

@@ -198,18 +198,32 @@ object TextOps {
     *   4. drop tracking params (`utm_*`, `fbclid`, `gclid`) and empty
     *      params from the query, preserving the rest in order; a query
     *      left empty drops its `?`;
-    *   5. strip one trailing slash from the path.
+    *   5. strip ALL trailing slashes from the path (all, not one —
+    *      `/a//` → `/a` in one pass, which makes the map IDEMPOTENT:
+    *      canon∘canon = canon, spec-asserted; a one-slash rule converges
+    *      only after as many passes as there are trailing slashes).
+    * Deliberately NOT normalized (pinned contract — each of these changes
+    * meaning or needs scheme knowledge a key function shouldn't assume):
+    * userinfo is kept (its case IS lowered with the authority); percent-
+    * encoding is untouched (no decode, no hex-case fold — `%2F` ≠ `%2f`
+    * here); path dot-segments (`/a/../b`) are not resolved; query-param
+    * ORDER is preserved (sorting would collide `?a=1&b=2` pages that
+    * servers may treat as distinct); `www.` is not stripped.
     * Pure builtins (regex + split/filter/array_join) — whole-stage
     * codegen, no UDF. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val head = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val lowered = concat(lower(head), noFrag.substr(length(head) + 1, lit(1 << 30)))
+    // host part is [^/?#]+ (':' allowed): userinfo carries a ':' of its
+    // own (user:pw@host:80), and excluding ':' made the default-port drop
+    // silently skip every userinfo-bearing URL; anchoring on the trailing
+    // `:80` + end-of-authority keeps :8080 etc. untouched
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?].*)?$", "$1$2"),
-      "^(https://[^/:?#]+):443([/?].*)?$", "$1$2")
+      regexp_replace(lowered, "^(http://[^/?#]+):80([/?].*)?$", "$1$2"),
+      "^(https://[^/?#]+):443([/?].*)?$", "$1$2")
     val qpos = instr(noPort, "?")
-    val base = regexp_replace(substring_index(noPort, "?", 1), "/$", "")
+    val base = regexp_replace(substring_index(noPort, "?", 1), "/+$", "")
     val qstr = when(qpos > 0, noPort.substr(qpos + 1, lit(1 << 30)))
     val keptParams = filter(split(qstr, "&"),
       p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=") && p =!= "")
@@ -226,6 +240,12 @@ object TextOps {
     * doc itself. Returns (doc_id, text) with surviving segments rejoined
     * by `joinWith` in original order; docs that lose every segment come
     * back with "" (the caller's quality filter drops them).
+    *
+    * EMPTY segments (consecutive/leading/trailing separators — blank
+    * lines under a line separator) are STRUCTURE, not content: they are
+    * kept in place in every doc and never enter the dedup groupBy (which
+    * would otherwise strip blank-line structure from every doc in the
+    * corpus but the globally-first one). Mirrored 1:1 in the q35 oracle.
     *
     * Scale shape: segments shuffle as 8-byte xxhash64 keys (the exact-
     * dedup trade — text never shuffles into the winner groupBy); the
@@ -248,13 +268,16 @@ object TextOps {
     // join back against the occurrences; map-side partial aggregation
     // collapses each partition's repeats before the shuffle, so shuffle
     // volume tracks distinct segments per partition, not occurrences.
-    val winners = segs
+    val winners = segs.where(length(col("seg")) > 0)
       .groupBy(xxhash64(col("seg")).as("h1"),
                xxhash64(concat(lit("seg-id-2:"), col("seg"))).as("h2"))
       .agg(min(struct(col("doc_id"), col("pos"), col("seg"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"),
               col("w.seg").as("seg"))
-    val rebuilt = winners.groupBy("doc_id")
+    // empty segments re-enter positionally, outside the dedup
+    val kept = winners.unionByName(
+      segs.where(length(col("seg")) === 0).select("doc_id", "pos", "seg"))
+    val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           x => x.getField("seg")),

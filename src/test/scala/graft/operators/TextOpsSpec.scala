@@ -167,6 +167,36 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("canonicalizeUrl is idempotent and pins what it does NOT normalize") {
+    val cases = Seq(
+      // multi-trailing-slash: ALL stripped in one pass (a one-slash rule
+      // converges only after k passes — the idempotence bug class)
+      ("http://ex.com/a//", "http://ex.com/a"),
+      ("http://ex.com///", "http://ex.com"),
+      // userinfo kept (case lowered with the authority, port still dropped)
+      ("http://User:Pw@Ex.COM:80/p", "http://user:pw@ex.com/p"),
+      // percent-encoding untouched: no decode, no hex-case fold
+      ("http://ex.com/a%2Fb?x=%2f", "http://ex.com/a%2Fb?x=%2f"),
+      // dot-segments not resolved; param order preserved
+      ("http://ex.com/a/../b?b=2&a=1", "http://ex.com/a/../b?b=2&a=1"))
+    val canon = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    cases.zip(canon).foreach { case ((in, want), c) =>
+      assert(c === want, s"canonicalizeUrl($in)")
+    }
+    // canon ∘ canon = canon over BOTH fixture sets (the contract row)
+    val all = (cases.map(_._1) ++ Seq(
+      "HTTP://Ex.COM:80/a/b/?id=3&utm_source=x&fbclid=z#frag",
+      "http://ex.com/p?&id=1&", "http://ex.com/p?utm_a=1")).toDF("url")
+    val twice = all.select(
+        TextOps.canonicalizeUrl(col("url")).as("once"),
+        TextOps.canonicalizeUrl(TextOps.canonicalizeUrl(col("url"))).as("twice"))
+      .as[(String, String)].collect()
+    twice.foreach { case (once, again) =>
+      assert(again === once, s"not idempotent: $once -> $again")
+    }
+  }
+
   test("removeRepeatedSegments: first occurrence wins, within-doc repeats drop, empty docs survive") {
     // line-granular (sep "\n") — the CCNet/C4 web shape: a boilerplate
     // footer shared by three docs survives only in doc 1 (min doc_id),
@@ -190,5 +220,28 @@ class TextOpsSpec extends SparkSuite {
         docs.orderBy(col("doc_id").desc).repartition(7), "\n", "\n")
       .as[(Long, String)].collect().toMap
     assert(rev === got)
+  }
+
+  test("removeRepeatedSegments: empty segments are structure, kept in place everywhere") {
+    // blank lines (consecutive separators) must NOT dedup as content —
+    // that would strip blank-line structure from every doc in the corpus
+    // but the globally-first one, and leave the winner a stray empty seg
+    val docs = Seq(
+      (1L, "para one\n\npara two"),          // blank line between paragraphs
+      (2L, "other\n\nmore"),                 // blank line in a LATER doc too
+      (3L, "\nleading blank"),               // leading separator
+      (4L, "trailing blank\n"),              // trailing separator
+      (5L, "para one\n\npara two")           // full dup of 1: loses both
+                                             // paragraphs; its one surviving
+                                             // empty segment joins to ""
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeRepeatedSegments(docs, "\n", "\n")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "para one\n\npara two",
+      2L -> "other\n\nmore",    // doc 2's blank survives (not deduped away)
+      3L -> "\nleading blank",
+      4L -> "trailing blank\n",
+      5L -> ""))
   }
 }

@@ -70,11 +70,70 @@ object ScalingBench {
       val pairs = graft.Dedup.dupPairs(docs, cfg).select("a", "b").localCheckpoint()
       val nPairs = pairs.count()
       val t1 = System.nanoTime()
+      spark.sparkContext.setJobDescription("graft:cc")
       val out = ConnectedComponents.assign(pairs).count()
+      spark.sparkContext.setJobDescription(null)
       val t2 = System.nanoTime()
       println(f"  phase pairs=${(t1 - t0) / 1e9}%.1fs ($nPairs) cc=${(t2 - t1) / 1e9}%.1fs")
       out
     }
+
+    /** Stage-granular phase attribution (VERDICT_r5 #3): for every stage
+      * inside a graft-labeled job, record (job phase, stage callsite, wall,
+      * Σ task time, tasks). Σtask/wall is the stage's achieved parallelism
+      * — the direct instrument for WHICH term stops scaling 8→32: a stage
+      * whose Σtask/wall ≪ cpus is serialized (driver barrier, single-task
+      * tail, skew), one whose Σtask grows with cpus is contended. Enabled
+      * with SPARK_GRAFT_PHASES=1 in the default scaling mode. */
+    class PhaseListener extends org.apache.spark.scheduler.SparkListener {
+      import scala.collection.concurrent.TrieMap
+      private val stageJob = TrieMap[Int, String]()
+      private val stageT0 = TrieMap[Int, Long]()
+      private val stageTaskMs = TrieMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double, Double, Int)]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (desc.startsWith("graft:")) js.stageIds.foreach(stageJob(_) = desc)
+      }
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (stageJob.contains(ss.stageInfo.stageId)) {
+          stageT0(ss.stageInfo.stageId) = System.nanoTime()
+          stageTaskMs(ss.stageInfo.stageId) = new java.util.concurrent.atomic.AtomicLong()
+        }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        stageTaskMs.get(te.stageId).foreach(_.addAndGet(te.taskInfo.duration))
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val id = sc.stageInfo.stageId
+        (stageJob.remove(id), stageT0.remove(id), stageTaskMs.remove(id)) match {
+          case (Some(job), Some(t0), Some(ms)) =>
+            rows.add((job, sc.stageInfo.name.takeWhile(_ != '\n'),
+              (System.nanoTime() - t0) / 1e9, ms.get() / 1000.0,
+              sc.stageInfo.numTasks))
+          case _ =>
+        }
+      }
+      def drainAndPrint(): Unit = {
+        import scala.jdk.CollectionConverters._
+        val all = rows.asScala.toSeq
+        rows.clear()
+        val byPhase = all.groupBy(_._1).view.mapValues { ss =>
+          (ss.map(_._3).sum, ss.map(_._4).sum)
+        }.toMap
+        byPhase.toSeq.sortBy(-_._2._1).foreach { case (ph, (w, t)) =>
+          println(f"  PHASE $ph%-36s stage-wall-sum=$w%7.1fs task-sum=$t%8.1fs par=${t / math.max(w, 1e-9)}%5.1f")
+        }
+        all.sortBy(-_._3).take(12).foreach { case (ph, st, w, t, n) =>
+          println(f"    STAGE $ph%-34s ${st.take(46)}%-46s wall=$w%6.1fs tasks=$n%4d par=${t / math.max(w, 1e-9)}%5.1f")
+        }
+      }
+    }
+    val phaseListener =
+      if (sys.env.contains("SPARK_GRAFT_PHASES")) {
+        val l = new PhaseListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
 
     // pure-CPU kernel mode: shingle+minhash+simhash only (no shuffle) —
     // isolates thread scaling of the compute from shared-memory-bandwidth
@@ -169,6 +228,10 @@ object ScalingBench {
     // materialization under a fresh root per rep — each stage's blocks are
     // released as soon as it is written, so the 32-thread side doesn't pay
     // the whole pipeline's heap debris the facade path accumulates)
+    // SPARK_GRAFT_KEEPBEST=<sql-expr>: run the production path with the
+    // quality-dedup stage (the VERDICT_r5 #5 measurement — deduped stage
+    // wall at scale, append invalidation behavior)
+    val keepBest = sys.env.get("SPARK_GRAFT_KEEPBEST")
     if (sys.env.contains("SPARK_GRAFT_MAIN")) {
       var clustered = 0L
       def runMainOnce(rep: Int): Double = {
@@ -176,7 +239,8 @@ object ScalingBench {
         org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(root), true)
         val t0 = System.nanoTime()
-        clustered = DedupMain.run(spark, corpus, root, cfg, s"bench-$cpus-$rep").count()
+        clustered = DedupMain.run(spark, corpus, root, cfg, s"bench-$cpus-$rep",
+          keepBest = keepBest).count()
         val w = (System.nanoTime() - t0) / 1e9
         dropAllBlocks()
         w
@@ -240,10 +304,10 @@ object ScalingBench {
         }
       }
       val (wHead, _) = timed("head(d1..k-1)") {
-        DedupMain.run(spark, headPath, aRoot, cfg, "head").count()
+        DedupMain.run(spark, headPath, aRoot, cfg, "head", keepBest = keepBest).count()
       }
       val (wAppend, cAppend) = timed("append(+dk)") {
-        DedupMain.run(spark, corpus, aRoot, cfg, "append").count()
+        DedupMain.run(spark, corpus, aRoot, cfg, "append", keepBest = keepBest).count()
       }
       graft.run.Metrics.read(spark, aRoot)
         .where(col("run_id") === "append").orderBy("ts").collect()
@@ -251,7 +315,7 @@ object ScalingBench {
           f"rows=${r.getAs[Long]("rows_out")}%10d wall=${r.getAs[Long]("wall_ms") / 1000.0}%7.1fs " +
           f"resumed=${r.getAs[Boolean]("resumed")}"))
       val (wFull, cFull) = timed("fromscratch") {
-        DedupMain.run(spark, corpus, fRoot, cfg, "full").count()
+        DedupMain.run(spark, corpus, fRoot, cfg, "full", keepBest = keepBest).count()
       }
       // Partition comparison, label-free and not inflated by mega-clusters:
       //  - docs clustered by only one run (expected: the few extra docs the
@@ -305,16 +369,35 @@ object ScalingBench {
       val root = s"$localDir/graft_stream_root_${n}_k$k"
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val walls = (0 until k).map { i =>
+      // the bytes-read column (VERDICT_r5 #1 "Done" criterion): per-batch
+      // DURABLE input bytes from Hadoop FileSystem statistics (file scheme
+      // — only actual file reads; Spark task inputMetrics would also count
+      // resident-cache block reads). In steady state this must track the
+      // batch (its corpus slice + its own pairs/clusters dirs), not the
+      // accumulated state, which batches read from the resident cache.
+      // NOTE: no dropAllBlocks between batches here — the resident state
+      // cache IS persisted blocks; dropping them would force a rebuild
+      // (and re-read) every batch, the exact O(state) behavior this
+      // measures the absence of.
+      import scala.jdk.CollectionConverters._
+      def fileBytesRead(): Long =
+        org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator().asScala
+          .filter(s => s.getScheme == "file")
+          .map(s => Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L))
+          .sum
+      val measured = (0 until k).map { i =>
         val b = DedupMain.toDocs(spark.read.parquet(corpus))
           .where(pmod(xxhash64(col("doc_id")), lit(k)) === i)
+        val b0 = fileBytesRead()
         val t0 = System.nanoTime()
         graft.streaming.StreamingDedup.processBatch(b, i.toLong, cfg, root)
         val w = (System.nanoTime() - t0) / 1e9
-        dropAllBlocks()
-        println(f"  stream-batch $i%3d wall=$w%7.1fs")
-        w
+        val mb = (fileBytesRead() - b0) / 1e6
+        println(f"  stream-batch $i%3d wall=$w%7.1fs src=${graft.streaming.StreamingDedup.lastStateSource}%-13s durable_read=$mb%8.1f MB")
+        (w, mb)
       }
+      val walls = measured.map(_._1)
+      val bytesMb = measured.map(_._2)
       val clustered = graft.streaming.StreamingDedup.latestClusters(spark, root).count()
       def stateFiles(dir: String): Int = {
         val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
@@ -330,19 +413,26 @@ object ScalingBench {
       println(s"""{"bench":"stream","docs":$n,"cpus":$cpus,"batches":$k,""" +
         s""""total_sec":${walls.sum},"first4_avg_sec":${avg(walls.take(4))},""" +
         s""""last4_avg_sec":${avg(walls.takeRight(4))},""" +
+        s""""read_mb_per_batch":[${bytesMb.map(b => f"$b%.1f").mkString(",")}],""" +
+        s""""first4_avg_read_mb":${avg(bytesMb.take(4))},""" +
+        s""""last4_avg_read_mb":${avg(bytesMb.takeRight(4))},""" +
         s""""docs_per_sec":${n / walls.sum},"clustered_docs":$clustered,""" +
         s""""state_files":{"keys":${stateFiles("keys")},"keys_sh":${stateFiles("keys_sh")},""" +
         s""""shingled":${stateFiles("shingled")},"simhashes":${stateFiles("simhashes")}},${burn.json}}""")
       spark.stop(); return
     }
 
-    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) { pipelineCount(); dropAllBlocks() }
+    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) {
+      pipelineCount(); dropAllBlocks()
+      phaseListener.foreach(_.drainAndPrint()) // warm rep, discarded
+    }
     var clustered = 0L
-    val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { _ =>
+    val walls = (1 to sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).map { r =>
       val t0 = System.nanoTime()
       clustered = pipelineCount()
       val w = (System.nanoTime() - t0) / 1e9
       dropAllBlocks()
+      phaseListener.foreach { l => println(s"  phase split, rep $r:"); l.drainAndPrint() }
       w
     }
     val best = walls.min

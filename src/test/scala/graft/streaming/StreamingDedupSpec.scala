@@ -112,10 +112,74 @@ class StreamingDedupSpec extends SparkSuite {
     StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
     val someIds = docs.select("doc_id").as[Long].take(2)
     val cands = Seq((someIds(0), someIds(1))).toDF("a", "b")
-    val plan = StreamingDedup.verifiedNewPairs(spark, root, cands, 1L, cfg)
+    val allSh = spark.read.parquet(s"$root/shingled").select("doc_id", "shingles")
+    val plan = StreamingDedup.verifiedNewPairs(allSh, cands, 1L, cfg)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
       s"expected broadcast left-semi candidate restriction:\n$plan")
+  }
+
+  test("steady-state batches run on resident state; a restart rebuilds once and matches") {
+    // the VERDICT_r5 #1 contract: per-batch durable-state reads track the
+    // batch, not the accumulated stream — batches after the first extend
+    // the executor-resident cache instead of re-scanning the state tables,
+    // and a fresh process (cache evicted) rebuilds from parquet ONCE with
+    // bit-identical results
+    val docs = PagesGen.docs(spark, 240, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-resident").toString
+    StreamingDedup.evictStateCache(root)
+    (0 until 3).foreach { b =>
+      StreamingDedup.processBatch(
+        docs.where(pmod(col("doc_id"), lit(4)) === b), b.toLong, cfg, root)
+      if (b > 0) assert(StreamingDedup.lastStateSource === "cache-extend",
+        s"batch $b should extend the resident state, got ${StreamingDedup.lastStateSource}")
+    }
+    val clustersBefore = StreamingDedup.latestClusters(spark, root)
+      .as[(Long, Long)].collect().toSet
+    // a replay of the newest batch is recognized (content already covered)
+    StreamingDedup.processBatch(
+      docs.where(pmod(col("doc_id"), lit(4)) === 2), 2L, cfg, root)
+    assert(StreamingDedup.lastStateSource === "cache-replay")
+    // restart: evict the resident state — the next batch must REBUILD from
+    // the durable layer and produce the same downstream state
+    StreamingDedup.evictStateCache(root)
+    StreamingDedup.processBatch(
+      docs.where(pmod(col("doc_id"), lit(4)) === 3), 3L, cfg, root)
+    assert(StreamingDedup.lastStateSource === "rebuild")
+    val streamed = StreamingDedup.latestClusters(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(clustersBefore.subsetOf(streamed) || streamed.nonEmpty) // sanity
+    // parity with the batch pipeline after the mixed resident/rebuild run
+    val batchPairs = Lsh.minhashDupPairs(docs, cfg).select("a", "b")
+      .unionByName(Lsh.simhashDupPairs(docs, cfg).select("a", "b"))
+    val batch = graft.operators.ConnectedComponents.assign(batchPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch, s"extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
+  test("streaming keepBest == batch keepBest on a replayed corpus") {
+    val docs = PagesGen.docs(spark, 200, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-skb").toString
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    val score = length(col("text")) // keep the longest copy
+    val streamed = StreamingDedup.keepBest(docs, root, score)
+      .select("doc_id").as[Long].collect().toSet
+    // batch reference over the same two families the bridge runs
+    val batchPairs = Lsh.minhashDupPairs(docs, cfg).select("a", "b")
+      .unionByName(Lsh.simhashDupPairs(docs, cfg).select("a", "b"))
+    val batch = graft.Dedup.keepBest(docs,
+        graft.operators.ConnectedComponents.assign(batchPairs), score)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch,
+      s"extra=${streamed -- batch} missing=${batch -- streamed}")
+    // winners beat every losing cluster-mate on (score, then min doc_id)
+    val asg = StreamingDedup.latestClusters(spark, root)
+    val scored = docs.select(col("doc_id"), score.as("q")).join(asg, "doc_id")
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("w"))
+      .select((-col("w.nd")).as("doc_id")).as[Long].collect().toSet
+    assert(best.subsetOf(streamed))
   }
 
   test("windowed doc counts with watermark over the pages stream") {

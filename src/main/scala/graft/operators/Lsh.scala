@@ -215,6 +215,70 @@ object Lsh {
     if (union == 0) -1.0 else inter.toDouble / union.toDouble
   }
 
+  /** THE shared merge-emit core of every in-task lane resolver (the batch
+    * hot lanes and both incremental paths — one definition so the
+    * verified-forest contract lives in one place): one lane's members
+    * sorted by doc_id (determinism at any parallelism), union-find SEEDED
+    * with the previous cluster assignment (`seedUnion`; all-None seeds =
+    * all singletons, the batch case), then every pair whose components
+    * still differ is exact-verified via `score`/`pass` and EMITTED on
+    * merge with its score. Emitted edges are therefore ALREADY VERIFIED —
+    * callers never re-verify them. Per-lane connectivity equals the
+    * uncapped clique enumeration's verified subgraph by the spanning-
+    * forest property (the contract JaccardForestSpec / NewVsAllSpec /
+    * HammingForestSpec pin), so global clusters are IDENTICAL to uncapped
+    * listing + verify. Pairs skipped because their endpoints were already
+    * connected through verified (or seeded) edges are counted into
+    * `suppressed` — loud, never silent. */
+  private def laneForest[P](members: Array[(Long, Option[Long], P)],
+                            score: (P, P) => Double,
+                            pass: Double => Boolean,
+                            suppressed: Option[org.apache.spark.util.LongAccumulator])
+      : Iterator[(Long, Long, Double)] = {
+    val sorted = members.sortBy(_._1) // determinism across row order
+    val n = sorted.length
+    if (n < 2) return Iterator.empty
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    seedUnion(sorted.map(_._2), parent)
+    var skipped = 0L
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val ri = find(i); val rj = find(j)
+        if (ri != rj) {
+          val s = score(sorted(i)._3, sorted(j)._3)
+          if (pass(s)) {
+            parent(math.max(ri, rj)) = math.min(ri, rj)
+            out += ((sorted(i)._1, sorted(j)._1, s))
+          }
+        } else skipped += 1
+        j += 1
+      }
+      i += 1
+    }
+    suppressed.foreach(_.add(skipped))
+    out.iterator
+  }
+
+  /** Exact-Jaccard scorer for `laneForest`: the length-ratio prefilter
+    * (J ≤ min/max sizes — a below-threshold bound means the exact check
+    * could only fail; such pairs fail under the uncapped listing too, so
+    * equivalence is unaffected) in front of the JaccardSorted merge
+    * (bit-identical inter/union division). Returns −1 on prefilter miss,
+    * which no threshold ≥ 0 passes. */
+  private def jaccardScore(threshold: Double)(a: Array[Long], b: Array[Long]): Double = {
+    val lo = math.min(a.length, b.length).toDouble
+    val hi = math.max(a.length, b.length).toDouble
+    if (lo >= threshold * hi) jaccardSortedArrays(a, b) else -1.0
+  }
+
   /** Hot-lane resolution for the MinHash family: in-task EXACT-Jaccard
     * verified spanning forest — `hammingCappedPairs`' discipline brought to
     * MinHash (the r4 verdict's "what's wrong #2": the hub-star spokes this
@@ -226,21 +290,7 @@ object Lsh {
     * each member's distinct-sorted shingle array joins in (Exchange-free
     * on the shingle side when it is the doc_id-bucketed stage table), and
     * each (key, salt) lane — ≤ ~saltMaxBucket members by construction — is
-    * resolved in ONE task: members sorted by doc_id (determinism at any
-    * parallelism), union-find, and for each pair not yet connected the
-    * exact Jaccard (identical merge + division as the JaccardSorted
-    * expression) decides the edge. Emitted edges are therefore ALREADY
-    * VERIFIED — callers union them with the cold candidates' verify output
-    * and never re-verify. Per-lane connectivity equals the uncapped clique
-    * enumeration's verified subgraph by the spanning-forest property, so
-    * global clusters are IDENTICAL to uncapped listing + verify.
-    *
-    * Pairs skipped because their endpoints were already connected through
-    * verified edges are counted into `suppressed` (an upper bound on the
-    * redundant verified pairs not emitted — loud, never silent). A cheap
-    * length-ratio prefilter (J ≤ min/max sizes) skips the merge for pairs
-    * that cannot reach the threshold; such pairs fail under the uncapped
-    * listing too, so equivalence is unaffected. */
+    * resolved in ONE task by `laneForest` (unseeded). */
   def jaccardLaneVerifiedPairs(hotKeys: DataFrame, shingled: DataFrame,
                                threshold: Double,
                                suppressed: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -253,47 +303,8 @@ object Lsh {
       .as[(Long, Int, Long, Array[Long])]
     rows.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val ms = it.toArray
-        if (ms.length < 2) Iterator.empty
-        else {
-          val sorted = ms.sortBy(_._3) // determinism across row order
-          val n = sorted.length
-          val parent = Array.tabulate(n)(identity)
-          def find(x0: Int): Int = {
-            var x = x0
-            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-            x
-          }
-          var skipped = 0L
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          var i = 0
-          while (i < n) {
-            val shI = sorted(i)._4
-            var j = i + 1
-            while (j < n) {
-              val ri = find(i); val rj = find(j)
-              if (ri == rj) skipped += 1
-              else {
-                val shJ = sorted(j)._4
-                // length prefilter: J ≤ min/max — below-threshold bound
-                // means the exact check could only fail; skip the merge
-                val lo = math.min(shI.length, shJ.length).toDouble
-                val hi = math.max(shI.length, shJ.length).toDouble
-                if (lo >= threshold * hi) {
-                  val jac = jaccardSortedArrays(shI, shJ)
-                  if (jac >= threshold) {
-                    parent(math.max(ri, rj)) = math.min(ri, rj)
-                    out += ((sorted(i)._3, sorted(j)._3, jac))
-                  }
-                }
-              }
-              j += 1
-            }
-            i += 1
-          }
-          suppressed.foreach(_.add(skipped))
-          out.iterator
-        }
+        laneForest[Array[Long]](it.map(r => (r._3, Option.empty[Long], r._4)).toArray,
+          jaccardScore(threshold), _ >= threshold, suppressed)
       }
       .toDF("a", "b", "jaccard")
   }
@@ -509,11 +520,13 @@ object Lsh {
     * (all families), so a pair already emitted is necessarily same-seed —
     * which makes the merge-emit rule below both SOUND (a merge is a
     * genuinely new link the from-scratch build would also know) and
-    * NO-PAIR-TWICE (an already-emitted pair can never merge again). A
-    * STALE seed (multi-day pending loops reuse the pre-append snapshot)
-    * only degrades to occasional re-emission of a link discovered earlier
-    * in the same run — duplicate rows across day partitions, harmless to
-    * CC and bounded by lane drift. Without it (`None` seeds throughout,
+    * NO-PAIR-TWICE (an already-emitted pair can never merge again). The
+    * no-pair-twice property needs the seed to cover EVERY pair emitted so
+    * far — DedupMain's multi-day pending loop therefore refreshes it with
+    * an incremental-CC pass between pending days (a stale pre-append
+    * snapshot merely degraded to re-emitting a drift link found earlier
+    * in the same run — duplicate day-partition rows, harmless to CC, but
+    * an over-count for pair consumers). Without it (`None` seeds throughout,
     * e.g. a first streaming batch) every member starts a singleton and
     * the operator emits more redundant-but-verified edges. */
   private def seedUnion(seeds: Array[Option[Long]], parent: Array[Int]): Unit = {
@@ -557,37 +570,10 @@ object Lsh {
       .as[(Long, Int, Long, Option[Long], Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val sorted = it.toArray.sortBy(_._3)
-        val n = sorted.length
-        if (n < 2) Iterator.empty
-        else {
-          val parent = Array.tabulate(n)(identity)
-          def find(x0: Int): Int = {
-            var x = x0
-            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-            x
-          }
-          seedUnion(sorted.map(_._4), parent)
-          var skipped = 0L
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          var i = 0
-          while (i < n) {
-            var j = i + 1
-            while (j < n) {
-              val ri = find(i); val rj = find(j)
-              if (ri != rj) {
-                if (java.lang.Long.bitCount(sorted(i)._5 ^ sorted(j)._5) <= maxHamming) {
-                  parent(math.max(ri, rj)) = math.min(ri, rj)
-                  out += ((sorted(i)._3, sorted(j)._3))
-                }
-              } else skipped += 1
-              j += 1
-            }
-            i += 1
-          }
-          suppressed.foreach(_.add(skipped))
-          out.iterator
-        }
+        laneForest[Long](it.map(r => (r._3, r._4, r._5)).toArray,
+          (a, b) => java.lang.Long.bitCount(a ^ b).toDouble,
+          _ <= maxHamming, suppressed)
+          .map { case (a, b, _) => (a, b) }
       }
       .toDF("a", "b")
   }
@@ -607,42 +593,9 @@ object Lsh {
       .as[(Long, Int, Long, Option[Long], Array[Long])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val sorted = it.toArray.sortBy(_._3)
-        val n = sorted.length
-        if (n < 2) Iterator.empty
-        else {
-          val parent = Array.tabulate(n)(identity)
-          def find(x0: Int): Int = {
-            var x = x0
-            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-            x
-          }
-          seedUnion(sorted.map(_._4), parent)
-          var skipped = 0L
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          var i = 0
-          while (i < n) {
-            val shI = sorted(i)._5
-            var j = i + 1
-            while (j < n) {
-              val ri = find(i); val rj = find(j)
-              if (ri != rj) {
-                val shJ = sorted(j)._5
-                val lo = math.min(shI.length, shJ.length).toDouble
-                val hi = math.max(shI.length, shJ.length).toDouble
-                if (lo >= threshold * hi &&
-                    jaccardSortedArrays(shI, shJ) >= threshold) {
-                  parent(math.max(ri, rj)) = math.min(ri, rj)
-                  out += ((sorted(i)._3, sorted(j)._3))
-                }
-              } else skipped += 1
-              j += 1
-            }
-            i += 1
-          }
-          suppressed.foreach(_.add(skipped))
-          out.iterator
-        }
+        laneForest[Array[Long]](it.map(r => (r._3, r._4, r._5)).toArray,
+          jaccardScore(threshold), _ >= threshold, suppressed)
+          .map { case (a, b, _) => (a, b) }
       }
       .toDF("a", "b")
   }

@@ -361,8 +361,6 @@ object DedupMain {
           // previous cluster assignment = the lane operators' union-find
           // seed (sound merge-emit; see Lsh.seedUnion). Read lazily — the
           // clusters stage only overwrites this dir AFTER the append loop.
-          // Stale across a multi-day pending loop (documented: occasional
-          // re-emission of a link found earlier in the same run).
           val clustersSeed: Option[DataFrame] = {
             val cp = new Path(s"$root/clusters/_SUCCESS")
             if (cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp) &&
@@ -372,10 +370,31 @@ object DedupMain {
             else None
           }
           var ctx = inDays.filter(doneDays.contains)
-          pending.foreach { d =>
+          // The lane seed is REFRESHED between pending days: after day d,
+          // incremental CC over the seed's contracted star edges ∪ day-d's
+          // appended pairs covers every pair emitted so far, so day d+1's
+          // seeded lanes can never re-merge (and so re-emit) a link day d
+          // already wrote — dup_pairs day partitions stay duplicate-free
+          // (DayResumeSpec-asserted; the pre-r6 pre-append-snapshot seed
+          // re-emitted drift links across partitions). Cost per refresh:
+          // O(clusters + day pairs) — the incremental-CC bound, paid only
+          // between pending days (not after the last; the clusters stage
+          // rebuild below covers it).
+          var seed: Option[DataFrame] = clustersSeed
+          pending.zipWithIndex.foreach { case (d, i) =>
             appendDayPairs(spark, root, runId, cfg, docs, shingled, signatures,
-              bandKeysDay.get, clustersSeed, ctx, d, prevShards.get)
+              bandKeysDay.get, seed, ctx, d, prevShards.get)
             ctx = ctx :+ d
+            if (i < pending.size - 1) {
+              val dayPairs = spark.read.parquet(dupDir)
+                .where(col("warc_day") === lit(d)).select("a", "b")
+              val prevEdges = seed.map(pa =>
+                pa.select(col("doc_id").as("a"), col("cluster_id").as("b")))
+              seed = Some(ConnectedComponents.assign(
+                  prevEdges.fold(dayPairs)(_.unionByName(dayPairs)))
+                .localCheckpoint(false,
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+            }
           }
           val out = spark.read.parquet(dupDir)
           val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -521,10 +540,10 @@ object DedupMain {
     // spokes were the same class). Touched-lane merges are usually
     // new-involving but NOT exclusively: a lane may expose an old↔old
     // drift link (census growth co-locating a pair no earlier lane saw),
-    // emitted deliberately (added true connectivity); under the stale
-    // multi-day seed the same pair may re-emit in a later pending day —
-    // duplicate day-partition rows, harmless to CC, bounded by drift
-    // (Lsh.seedUnion documents the soundness argument).
+    // emitted deliberately (added true connectivity). The caller refreshes
+    // the seed between pending days, so a link emitted in day k can never
+    // re-merge — and so never re-emit — in day k+1 (Lsh.seedUnion
+    // documents the soundness argument).
     val (mhCold, mhLanes) = Lsh.newVsAllListing(
       keys(isNew, "minhash"), keys(isOld, "minhash"), cfg.saltMaxBucket,
       Some(daySuppressed))

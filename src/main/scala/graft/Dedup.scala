@@ -22,12 +22,18 @@ object Dedup {
     * returned lazy so callers (and PlanSpec) can see/extend it. */
   private[graft] def dupPairsPlan(docs: DataFrame, cfg: DedupConfig)
       : (DataFrame, Seq[DataFrame]) = {
+    // Job-phase labels (free: a thread-local property) — ScalingBench's
+    // phase listener attributes wall and Σ-task-time per labeled job, the
+    // instrument that pins WHICH term stops scaling 8→32 (VERDICT_r5 #3).
+    val sc = docs.sparkSession.sparkContext
+    sc.setJobDescription("graft:docs-ckpt")
     val d = docs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // ONE projection over the cached docs computes BOTH per-doc
     // fingerprints — shingles and simhash — into a single cached table
     // that feeds banding AND both verify joins. Splitting the families
     // into independent `minhashDupPairs`/`simhashDupPairs` calls (the
     // pre-r3 shape) ran the text-processing pass once per family.
+    sc.setJobDescription("graft:fingerprints-ckpt")
     val fp = d.select(col("doc_id"),
         Fns.shingleHashes(col("text"), cfg).as("shingles"),
         Fns.simhash64(col("text"), cfg).as("simhash"))
@@ -60,12 +66,14 @@ object Dedup {
     // broadcast semi-restriction: in the normal web regime (candidates ≪
     // corpus) the heavy shingle arrays shuffle only for candidate docs —
     // same discipline as DedupMain's staged path, output-preserving.
+    sc.setJobDescription("graft:listings-famcounts-barrier")
     val famCounts = mhc.select(lit("mh").as("fam"))
       .unionByName(mhHotC.select(lit("mhv").as("fam")))
       .unionByName(shc.select(lit("sh").as("fam")))
       .unionByName(sub.select(lit("sub").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sc.setJobDescription(null)
     val (nMh, nSh) = (famCounts.getOrElse("mh", 0L), famCounts.getOrElse("sh", 0L))
     // hot-lane edges are already exact-verified in-task — only the cold
     // candidates go through the verify join
@@ -86,7 +94,9 @@ object Dedup {
     * returned checkpoint depends on nothing unpersisted here. */
   def dupPairs(docs: DataFrame, cfg: DedupConfig = DedupConfig.test): DataFrame = {
     val (pairs, intermediates) = dupPairsPlan(docs, cfg)
+    docs.sparkSession.sparkContext.setJobDescription("graft:verify-union-ckpt")
     val out = pairs.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    docs.sparkSession.sparkContext.setJobDescription(null)
     intermediates.foreach { df =>
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

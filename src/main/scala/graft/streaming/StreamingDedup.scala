@@ -143,18 +143,24 @@ object StreamingDedup {
    *    so durable-state bytes read per batch track the BATCH, not the
    *    accumulated stream — spec-asserted via the source tag below and
    *    measured in ScalingBench's stream mode (bytes-read column);
-   *  - when `compactState` folds the parquet batch dirs, the cache folds
-   *    the same entries into ONE consolidated checkpoint (one in-memory
-   *    pass per compactEvery batches — the same amortized cost class as
-   *    the durable compaction, and it caps the union plan's width);
+   *  - entries merge LOGARITHMICALLY (binary counter over batch spans —
+   *    Bentley-Saxe): adjacent old entries of equal span fold into one
+   *    eager checkpoint, so the union-plan width stays O(log batches)
+   *    (a linear entry list made per-batch driver planning and block
+   *    fetches grow O(K) — measured as walls creeping 14->23 s before
+   *    the fold) while each row is re-checkpointed only O(log batches)
+   *    times total — amortized O(batch·log) per batch, never an
+   *    O(state) pass (the compaction-time cache fold it replaces spiked
+   *    the fold batch to 37 s);
    *  - a fresh JVM (or evicted root) REBUILDS the cache from parquet
    *    once — the recovery read, after which steady state resumes.
    *
    * Memory cost is O(state) across executors — what a state store costs
-   * by definition; MEMORY_AND_DISK_SER degrades to local-disk reads, not
-   * remote-storage scans, under pressure.
+   * by definition; MEMORY_AND_DISK degrades to executor-local-disk reads,
+   * not remote-storage scans, under pressure.
    */
-  private final case class CachedBatch(id: Long, tables: Map[String, DataFrame])
+  private final case class CachedBatch(id: Long, tables: Map[String, DataFrame],
+                                       span: Int = 1)
   private val stateCache =
     scala.collection.mutable.LinkedHashMap[String, Vector[CachedBatch]]()
   /** How the last processBatch obtained its old-state view — the spec's
@@ -194,7 +200,7 @@ object StreamingDedup {
         v
       case Some(v) if v.nonEmpty && prevNewest.contains(v.last.id) =>
         lastStateSource = "cache-extend"
-        v :+ CachedBatch(batchId, newRows)
+        binaryMerge(v :+ CachedBatch(batchId, newRows))
       case other =>
         // fresh JVM, evicted root, or a root recreated under a live cache
         // — the one O(state) read left: recovery. Prior batches collapse
@@ -208,7 +214,8 @@ object StreamingDedup {
               .where(col("batch_id") =!= batchId).drop("batch_id")
               .localCheckpoint(false,
                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          }.toMap)
+          }.toMap, span = committedSnapshots(spark, s"$root/keys")
+            .count(_ != batchId))
         }.toVector
         prior :+ CachedBatch(batchId, newRows)
     }
@@ -221,23 +228,25 @@ object StreamingDedup {
     next
   }
 
-  /** Fold the resident entries `< beforeBatch` into one consolidated
-    * eager checkpoint — the cache-side mirror of `compactState`, run right
-    * after it: caps the union-plan width at compactEvery entries and
-    * releases the folded per-batch blocks. */
-  private def foldStateCache(root: String, beforeBatch: Long): Unit = synchronized {
-    stateCache.get(root).foreach { v =>
-      val (fold, keep) = v.partition(_.id < beforeBatch)
-      if (fold.size >= 2) {
-        val merged = CachedBatch(fold.map(_.id).max, StateTables.map { t =>
-          t -> fold.map(_.tables(t)).reduce(_ unionByName _)
-            .localCheckpoint(true,
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        }.toMap)
-        fold.foreach(unpersistBatch)
-        stateCache.put(root, merged +: keep)
-      }
+  /** Binary-counter entry merging (Bentley-Saxe): cascade-merge adjacent
+    * OLD entries of equal span into one eager checkpoint. The LAST entry
+    * (the current batch) never merges — the old/new split filters entries
+    * by id, so the current batch must stay its own entry until the next
+    * batch makes it old. Width after n batches ≈ popcount(n)+1 ≤ log2(n)+1;
+    * each row re-checkpoints O(log n) times total. */
+  private def binaryMerge(v: Vector[CachedBatch]): Vector[CachedBatch] = {
+    var old = v.dropRight(1)
+    while (old.size >= 2 && old(old.size - 2).span == old(old.size - 1).span) {
+      val (a, b) = (old(old.size - 2), old(old.size - 1))
+      val merged = CachedBatch(math.max(a.id, b.id), StateTables.map { t =>
+        t -> a.tables(t).unionByName(b.tables(t))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.toMap, a.span + b.span)
+      unpersistBatch(a); unpersistBatch(b)
+      old = old.dropRight(2) :+ merged
     }
+    old :+ v.last
   }
 
   /** Version stamp of the state-table layout. v2 = the two-family bridge
@@ -409,7 +418,6 @@ object StreamingDedup {
     if (compactEvery > 0 &&
         committedSnapshots(spark, s"$root/keys").count(_ < batchId) >= compactEvery) {
       compactState(spark, root, batchId)
-      foldStateCache(root, batchId)
     }
     // resident-state entries store DESERIALIZED (MEMORY_AND_DISK): the
     // state is re-SCANNED by ~6 consumers per micro-batch, and a _SER

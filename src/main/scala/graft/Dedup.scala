@@ -33,7 +33,10 @@ object Dedup {
     // that feeds banding AND both verify joins. Splitting the families
     // into independent `minhashDupPairs`/`simhashDupPairs` calls (the
     // pre-r3 shape) ran the text-processing pass once per family.
-    sc.setJobDescription("graft:fingerprints-ckpt")
+    // NOTE: d/fp checkpoints are LAZY — jobs under this label are the
+    // listing builders' eager sub-actions (substr byte/shard census, hot
+    // censuses, checkpoint materializations they trigger)
+    sc.setJobDescription("graft:listing-prep")
     val fp = d.select(col("doc_id"),
         Fns.shingleHashes(col("text"), cfg).as("shingles"),
         Fns.simhash64(col("text"), cfg).as("simhash"))

@@ -322,6 +322,12 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Gopher-style repetition signals ([Rae21] §A1.1): the within-doc
+    // duplicate/most-common n-gram fractions pre-training quality filters
+    // threshold on. Pure per-row builtins — no shuffle anywhere.
+    "q41_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(docs(s, dir), n = 2).orderBy("doc_id")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -528,6 +534,33 @@ object SparkEntry {
         |  FROM c5)
         |SELECT canon_url, count(*) AS n_docs, max(doc_id) AS keep_doc
         |FROM c6 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q41_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 1),
+        |               i -> array_to_string(w[i:i+1], ' '))) AS gram
+        |      FROM toks),
+        |counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |               CAST(max(c) AS BIGINT) AS top_gram_count
+        |        FROM counts GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_grams, 0) AS n_grams,
+        |       coalesce(a.n_distinct_grams, 0) AS n_distinct_grams,
+        |       coalesce(a.top_gram_count, 0) AS top_gram_count,
+        |       CASE WHEN a.n_grams > 0 THEN a.top_gram_count / a.n_grams END
+        |         AS top_gram_frac,
+        |       CASE WHEN a.n_grams > 0
+        |            THEN (a.n_grams - a.n_distinct_grams) / a.n_grams END
+        |         AS dup_gram_frac,
+        |       (coalesce(a.n_grams, 0) = 0 OR
+        |        (a.top_gram_count / a.n_grams <= 0.2 AND
+        |         (a.n_grams - a.n_distinct_grams) / a.n_grams <= 0.6)) AS passes
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q40_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w

@@ -286,6 +286,57 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Gopher-style within-document repetition signals ([Rae21] §A1.1's
+    * repetition filters, the standard pre-training quality gate CCNet/
+    * RefinedWeb also run): per doc, over OVERLAPPING word `n`-grams —
+    * total grams, distinct grams, the most-common gram's occurrence
+    * count, and the two derived fractions the filters threshold on:
+    * `top_gram_frac` (occurrences of the most common n-gram / total) and
+    * `dup_gram_frac` ((total − distinct) / total). `passes` applies the
+    * pinned thresholds (top ≤ 0.2, dup ≤ 0.6 — [Rae21]'s 2-gram band);
+    * docs with no grams (< n tokens) pass vacuously, fractions null.
+    *
+    * Scale shape: pure per-row builtins — NO shuffle anywhere. The mode
+    * is computed with one `aggregate` pass over the SORTED gram array
+    * (run-length of equal adjacent elements), so it stays inside
+    * whole-stage codegen; all fractions are exact integer/integer double
+    * divisions, replicated 1:1 in the DuckDB oracle (bit-identical). */
+  def repetitionSignals(docs: DataFrame, n: Int = 2,
+                        maxTopFrac: Double = 0.2,
+                        maxDupFrac: Double = 0.6): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // mode of the gram multiset: max run length over the sorted array
+    // (real grams are non-empty, so the "" initial prev never matches)
+    val top = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+               greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+        top.as("top_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        col("top_gram_count"),
+        when(col("n_grams") > 0, col("top_gram_count") / col("n_grams"))
+          .as("top_gram_frac"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct_grams")) / col("n_grams"))
+          .as("dup_gram_frac"),
+        (col("n_grams") === 0 ||
+          (col("top_gram_count") / col("n_grams") <= maxTopFrac &&
+           (col("n_grams") - col("n_distinct_grams")) / col("n_grams") <= maxDupFrac))
+          .as("passes"))
+  }
+
   /** Distinct word n-grams of a text column (empty array below n tokens)
     * — the contamination unit ([Lee22]-style decontamination uses n-gram
     * overlap against evaluation sets). */

@@ -222,6 +222,30 @@ class TextOpsSpec extends SparkSuite {
     assert(rev === got)
   }
 
+  test("repetitionSignals: exact gram census, mode via sorted-run pass, pinned thresholds") {
+    val d = Seq(
+      (1L, "a b a b a"),                   // grams: ab,ba,ab,ba -> top 2/4, dup 2/4
+      (2L, "a b c d e f g h i j k"),       // 10 distinct grams -> top 0.1, passes
+      (3L, "r r r r r r r r r r"),         // 9x "r r" -> top 1.0, dup 8/9
+      (4L, "solo"),                        // < n tokens: no grams, vacuous pass
+      (5L, "x y z w")                      // 3 distinct grams; top 1/3 > 0.2 ->
+                                           // fails (short docs are inherently
+                                           // top-heavy; Gopher gates length
+                                           // with a separate word-count rule)
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(d, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          r.getBoolean(6)))).toMap
+    assert(got(1L) === ((4L, 2L, 2L, Some(2.0 / 4), Some(2.0 / 4), false)))
+    assert(got(2L) === ((10L, 10L, 1L, Some(1.0 / 10), Some(0.0), true)))
+    assert(got(3L) === ((9L, 1L, 9L, Some(9.0 / 9), Some(8.0 / 9), false)))
+    assert(got(4L) === ((0L, 0L, 0L, None, None, true)))
+    assert(got(5L) === ((3L, 3L, 1L, Some(1.0 / 3), Some(0.0), false)))
+  }
+
   test("removeRepeatedSegments: empty segments are structure, kept in place everywhere") {
     // blank lines (consecutive separators) must NOT dedup as content —
     // that would strip blank-line structure from every doc in the corpus

@@ -69,13 +69,20 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val (pipelineSec, pipelineWalls) =
       minOfK { SparkEntry.queries("q22_eac_clusters")(spark, sfDir).count() }
-    val docsPerSec = docs / pipelineSec
+    // the HEADLINE metric must fail as loudly as any per-query failure: an
+    // all-reps-failed pipeline records -1 and lands under errors instead of
+    // leaking a plausible-looking negative docs/sec into baselines
+    if (pipelineWalls.isEmpty) errors += "pipeline(q22_eac_clusters)"
+    val docsPerSec = if (pipelineWalls.isEmpty) -1.0 else docs / pipelineSec
 
     // self-bracketing: the host's thread-scaling ceiling in THIS window —
     // readers judge the walls above against ambient, not in a vacuum
     val burn = graft.tools.Burn.measure()
 
-    def arr(xs: Seq[Double]) = xs.map(w => f"$w%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: a %-formatted double under a comma-decimal default
+    // locale (de_DE) renders 1,234 — invalid inside hand-built JSON
+    def arr(xs: Seq[Double]) =
+      xs.map(w => "%.3f".formatLocal(java.util.Locale.ROOT, w)).mkString("[", ",", "]")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val repJson = results.map { case (k, _, ws) => "\"" + k + "\":" + arr(ws) }
       .mkString("{", ",", "}")

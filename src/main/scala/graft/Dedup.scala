@@ -26,7 +26,6 @@ object Dedup {
     // phase listener attributes wall and Σ-task-time per labeled job, the
     // instrument that pins WHICH term stops scaling 8→32 (VERDICT_r5 #3).
     val sc = docs.sparkSession.sparkContext
-    sc.setJobDescription("graft:docs-ckpt")
     val d = docs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // ONE projection over the cached docs computes BOTH per-doc
     // fingerprints — shingles and simhash — into a single cached table

@@ -370,31 +370,61 @@ object DedupMain {
             else None
           }
           var ctx = inDays.filter(doneDays.contains)
-          // The lane seed is REFRESHED between pending days: after day d,
-          // incremental CC over the seed's contracted star edges ∪ day-d's
-          // appended pairs covers every pair emitted so far, so day d+1's
-          // seeded lanes can never re-merge (and so re-emit) a link day d
-          // already wrote — dup_pairs day partitions stay duplicate-free
+          // The lane seed is REFRESHED with an incremental-CC pass so it
+          // covers EVERY pair emitted so far — day d+1's seeded lanes then
+          // cannot re-merge (and so re-emit) a link day d already wrote,
+          // keeping dup_pairs day partitions duplicate-free
           // (DayResumeSpec-asserted; the pre-r6 pre-append-snapshot seed
           // re-emitted drift links across partitions). Cost per refresh:
-          // O(clusters + day pairs) — the incremental-CC bound, paid only
-          // between pending days (not after the last; the clusters stage
-          // rebuild below covers it).
+          // O(clusters + refreshed days' pairs) — the incremental-CC
+          // bound. Superseded seed checkpoints are released once the next
+          // one is eagerly materialized (the CC round-lifecycle lesson).
+          var seedCkpt: Option[DataFrame] = None // the refresh we own blocks of
           var seed: Option[DataFrame] = clustersSeed
+          def refreshSeed(days: Seq[java.sql.Timestamp]): Unit = if (days.nonEmpty) {
+            val dayPairs = spark.read.parquet(dupDir)
+              .where(col("warc_day").isin(days.map(x => x: Any): _*))
+              .select("a", "b")
+            val prevEdges = seed.map(pa =>
+              pa.select(col("doc_id").as("a"), col("cluster_id").as("b")))
+            val next = ConnectedComponents.assign(
+                prevEdges.fold(dayPairs)(_.unionByName(dayPairs)))
+              .localCheckpoint(true,
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            seedCkpt.foreach { old =>
+              old.queryExecution.analyzed.collectFirst {
+                case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+              }.foreach(_.unpersist(blocking = false))
+            }
+            seedCkpt = Some(next)
+            seed = Some(next)
+          }
+          // Crash-resume gap: a previous run may have appended day
+          // partitions and died BEFORE its clusters rebuild — the committed
+          // snapshot then does not cover those done days' pairs, and
+          // seeding from it alone would let the first pending day re-emit
+          // their links. The clusters manifest records which pair-days its
+          // snapshot covers (dayListKey); refresh over the done days it
+          // misses (all of them when no usable snapshot exists).
+          val seedCovered: Set[java.sql.Timestamp] =
+            if (clustersSeed.isEmpty) Set.empty
+            else Checkpoint.readManifest(spark, root, "clusters").map(_.configHash)
+              .filter(_.startsWith(s"${cfg.configHash}:pair_days="))
+              .map(_.split("pair_days=")(1).split("\\+").filter(_.nonEmpty)
+                .map(s => new java.sql.Timestamp(s.toLong)).toSet)
+              .getOrElse(Set.empty)
+          refreshSeed(ctx.filterNot(seedCovered.contains))
           pending.zipWithIndex.foreach { case (d, i) =>
             appendDayPairs(spark, root, runId, cfg, docs, shingled, signatures,
               bandKeysDay.get, seed, ctx, d, prevShards.get)
             ctx = ctx :+ d
-            if (i < pending.size - 1) {
-              val dayPairs = spark.read.parquet(dupDir)
-                .where(col("warc_day") === lit(d)).select("a", "b")
-              val prevEdges = seed.map(pa =>
-                pa.select(col("doc_id").as("a"), col("cluster_id").as("b")))
-              seed = Some(ConnectedComponents.assign(
-                  prevEdges.fold(dayPairs)(_.unionByName(dayPairs)))
-                .localCheckpoint(false,
-                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-            }
+            // not after the last day — the clusters stage rebuild covers it
+            if (i < pending.size - 1) refreshSeed(Seq(d))
+          }
+          seedCkpt.foreach { old =>
+            old.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+            }.foreach(_.unpersist(blocking = false))
           }
           val out = spark.read.parquet(dupDir)
           val wallMs = (System.nanoTime() - t0) / 1000000L

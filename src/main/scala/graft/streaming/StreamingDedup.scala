@@ -196,8 +196,13 @@ object StreamingDedup {
     val next: Vector[CachedBatch] = cached match {
       case Some(v) if v.nonEmpty && v.last.id == batchId &&
           v.map(_.id).dropRight(1).lastOption == prevNewest =>
-        lastStateSource = "cache-replay" // re-delivery: content identical
-        v
+        lastStateSource = "cache-replay"
+        // re-delivery: content identical — ADOPT the freshly-built
+        // checkpoints and release the prior delivery's (keeping both
+        // would leak one full block set per replay; the caller keeps
+        // using its fresh handles either way)
+        unpersistBatch(v.last)
+        v.dropRight(1) :+ CachedBatch(batchId, newRows, v.last.span)
       case Some(v) if v.nonEmpty && prevNewest.contains(v.last.id) =>
         lastStateSource = "cache-extend"
         binaryMerge(v :+ CachedBatch(batchId, newRows))
@@ -371,6 +376,13 @@ object StreamingDedup {
               "COMMIT stays in place for the next recovery attempt")
       }
     }
+    // record the consolidation target BEFORE dropping the staging dir: a
+    // crash in between re-runs this FINISH (idempotent rewrite). Earlier
+    // targets stay listed — their dirs hold folded rows forever.
+    val ids = consolidatedIds(spark, root) + maxId
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_consolidated"), true)
+    try out.write(ids.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
     deleteChecked(new org.apache.hadoop.fs.Path(s"$root/_compact"))
   }
 
@@ -415,6 +427,16 @@ object StreamingDedup {
           s"($newest) at $root — replaying it would overwrite consolidated " +
           "state with one batch's rows; only the newest batch may be replayed")
     }
+    // ... and even the NEWEST id is unsafe to replay once a compaction has
+    // consolidated other batches into its dir (the folded dir keeps the
+    // largest folded id's NAME but holds every folded batch's rows — a
+    // replay's per-dir Overwrite would replace them with one batch's rows).
+    // compactState records consolidation targets in _consolidated.
+    require(!consolidatedIds(spark, root).contains(batchId),
+      s"batch $batchId's state dir at $root is a compaction-consolidated " +
+        "dir (it holds the folded rows of earlier batches) — replaying it " +
+        "would overwrite them with one batch's rows; only batches newer " +
+        "than the last compaction may be replayed")
     if (compactEvery > 0 &&
         committedSnapshots(spark, s"$root/keys").count(_ < batchId) >= compactEvery) {
       compactState(spark, root, batchId)
@@ -538,7 +560,7 @@ object StreamingDedup {
     // ContextCleaner happens to notice (the CC round-lifecycle lesson).
     // sh/sims/newKeys/newKeysSh are NOT released: they are this batch's
     // resident-state entry, owned by the cache (released at fold/evict).
-    Seq(cands, candsSh).foreach(unpersistCheckpoint)
+    Seq(cands, candsSh, mhLaneV, shLaneV).foreach(unpersistCheckpoint)
   }
 
   /** RDD blocks behind a localCheckpoint'd DataFrame, released. */
@@ -565,6 +587,22 @@ object StreamingDedup {
                                                  nCands: Long, cfg: DedupConfig): DataFrame = {
     val allSims = Lsh.restrictToCandidateDocs(allSimhashes, cands, 2 * nCands)
     Lsh.verifyHamming(cands, allSims, cfg).select("a", "b")
+  }
+
+  /** Ids whose state dirs are compaction-consolidation targets (they hold
+    * the folded rows of earlier batches under one id's name) — recorded by
+    * `finishCompaction`, refused for replay by `processBatch`. */
+  private[streaming] def consolidatedIds(spark: org.apache.spark.sql.SparkSession,
+                                         root: String): Set[Long] = {
+    val fs = rootFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_consolidated")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split(",").filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
   }
 
   /** batch_ids with a fully-committed (_SUCCESS) snapshot under `dir`. */

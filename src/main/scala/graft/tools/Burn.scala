@@ -55,8 +55,13 @@ object Burn {
 
   final case class Ceiling(tLow: Double, tHigh: Double, low: Int, high: Int) {
     def value: Double = (tLow / tHigh) / (high.toDouble / low)
-    def json: String =
-      f""""burn":{"t$low":$tLow%.2f,"t$high":$tHigh%.2f,"ceiling":$value%.3f}"""
+    def json: String = {
+      // Locale.ROOT: %-formatting under a comma-decimal locale would emit
+      // invalid JSON
+      def n(fmt: String, v: Double) = fmt.formatLocal(java.util.Locale.ROOT, v)
+      s""""burn":{"t$low":${n("%.2f", tLow)},"t$high":${n("%.2f", tHigh)},""" +
+        s""""ceiling":${n("%.3f", value)}}"""
+    }
   }
 
   /** Measure the low→high thread-scaling ceiling (default 8→32, ~10 s —

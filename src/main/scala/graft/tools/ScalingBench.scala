@@ -413,7 +413,8 @@ object ScalingBench {
       println(s"""{"bench":"stream","docs":$n,"cpus":$cpus,"batches":$k,""" +
         s""""total_sec":${walls.sum},"first4_avg_sec":${avg(walls.take(4))},""" +
         s""""last4_avg_sec":${avg(walls.takeRight(4))},""" +
-        s""""read_mb_per_batch":[${bytesMb.map(b => f"$b%.1f").mkString(",")}],""" +
+        s""""read_mb_per_batch":[${bytesMb.map(b =>
+            "%.1f".formatLocal(java.util.Locale.ROOT, b)).mkString(",")}],""" +
         s""""first4_avg_read_mb":${avg(bytesMb.take(4))},""" +
         s""""last4_avg_read_mb":${avg(bytesMb.takeRight(4))},""" +
         s""""docs_per_sec":${n / walls.sum},"clustered_docs":$clustered,""" +

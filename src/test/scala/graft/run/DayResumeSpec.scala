@@ -238,6 +238,50 @@ class DayResumeSpec extends SparkSuite {
     assert(appended === fresh)
   }
 
+  test("crash-resume: the seed refresh covers done days the clusters snapshot misses") {
+    // a previous run appended day-3's pair partition and died BEFORE its
+    // clusters rebuild: the committed snapshot covers only days 1-2. The
+    // resume must refresh the seed over day 3's pairs before appending
+    // day 4, or day-4 lanes could re-emit day-3 links (duplicate pair
+    // rows) — and clusters must still equal from-scratch.
+    val hot = cfg.copy(saltMaxBucket = 8)
+    val pages = PagesGen.pages(spark, 400, hot).toDF()
+      .withColumn("warc_ts",
+        timestamp_seconds(unix_timestamp(col("warc_ts")) +
+          pmod(xxhash64(col("url")), lit(4)) * 86400L))
+    val days = pages.select(date_trunc("day", col("warc_ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    val in2 = tmpRoot() + "/in2.parquet"
+    val in3 = tmpRoot() + "/in3.parquet"
+    val in4 = tmpRoot() + "/in4.parquet"
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(2))).write.parquet(in2)
+    pages.where(date_trunc("day", col("warc_ts")) < lit(days(3))).write.parquet(in3)
+    pages.write.parquet(in4)
+    val root = tmpRoot()
+    DedupMain.run(spark, in2, root, hot, "base").count()
+    // snapshot the base clusters state (dir content + manifest)
+    val savedClusters = tmpRoot() + "/saved_clusters.parquet"
+    spark.read.parquet(s"$root/clusters").write.parquet(savedClusters)
+    val baseManifest = Checkpoint.readManifest(spark, root, "clusters").get
+    // append day 3 normally, then simulate its crash-before-clusters by
+    // restoring the base snapshot + manifest (pairs/lineage keep day 3)
+    DedupMain.run(spark, in3, root, hot, "app3").count()
+    spark.read.parquet(savedClusters).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$root/clusters")
+    Checkpoint.writeManifest(spark, root, baseManifest)
+    // resume: append day 4 on the torn state
+    val appended = DedupMain.run(spark, in4, root, hot, "app4")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val dupRows = spark.read.parquet(s"$root/dup_pairs")
+      .groupBy("a", "b", "family").count().where(col("count") > 1).collect()
+    assert(dupRows.isEmpty,
+      s"crash-resume re-emitted pairs: ${dupRows.take(5).mkString(", ")}")
+    val freshRoot = tmpRoot()
+    val fresh = DedupMain.run(spark, in4, freshRoot, hot, "fresh4")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(appended === fresh)
+  }
+
   test("keepBest quality dedup on the staged path: append invalidates it, parity with from-scratch") {
     val pages = PagesGen.pages(spark, 160, cfg).toDF()
       .withColumn("warc_ts",

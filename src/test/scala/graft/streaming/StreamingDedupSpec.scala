@@ -300,6 +300,26 @@ class StreamingDedupSpec extends SparkSuite {
     StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
   }
 
+  test("replaying a compaction-consolidated id is refused even when it is the newest") {
+    // after compactState folds dirs <2 into batch_id=1, that dir holds
+    // BOTH batches' rows under one id's name — a replay of id 1 passes a
+    // bare newest-id check but its per-dir Overwrite would replace the
+    // folded state with one batch's rows
+    val docs = PagesGen.docs(spark, 120, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-consrep").toString
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 0), 0L, cfg, root)
+    StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    StreamingDedup.compactState(spark, root, beforeBatch = 2L)
+    val rows = spark.read.parquet(s"$root/keys").count()
+    val err = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(docs.where(col("doc_id") % 2 === 1), 1L, cfg, root)
+    }
+    assert(err.getMessage.contains("consolidated"))
+    assert(spark.read.parquet(s"$root/keys").count() === rows, "state must be untouched")
+    // batches newer than the consolidation still process fine
+    StreamingDedup.processBatch(docs.limit(0), 2L, cfg, root)
+  }
+
   test("a false delete during FINISH aborts instead of destroying staged state") {
     // HDFS-style FileSystems report failure by RETURNING FALSE, not
     // throwing. Proceeding past one would reach the final staging-dir drop

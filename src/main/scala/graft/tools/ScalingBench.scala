@@ -90,12 +90,39 @@ object ScalingBench {
       private val stageJob = TrieMap[Int, String]()
       private val stageT0 = TrieMap[Int, Long]()
       private val stageTaskMs = TrieMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      private val jobDesc = TrieMap[Int, String]()
+      private val jobT0 = TrieMap[Int, Long]()
+      // per-phase Σ of JOB walls — the honest critical-path time of a phase
+      // (stage walls overlap within a job, so Σ-stage-wall overstates it and
+      // par = Σtask/Σstagewall UNDERstates achieved parallelism)
+      val jobWall = TrieMap[String, Double]()
       val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double, Double, Int)]()
+      /** Stage identity beyond the (useless, all-identical) action callsite:
+        * the distinct RDD scope names inside the stage, root-most last —
+        * "Exchange", "WholeStageCodegen (3)", "mapPartitions at …" — enough
+        * to pin WHICH operator a skewed/serialized stage is. */
+      private def scopeOf(si: org.apache.spark.scheduler.StageInfo): String = {
+        val names = si.rddInfos.sortBy(_.id).flatMap { r =>
+          r.scope.map(_.name).orElse(Option(r.name))
+        }.distinct
+        names.takeRight(4).mkString("<")
+      }
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-        if (desc.startsWith("graft:")) js.stageIds.foreach(stageJob(_) = desc)
+        if (desc.startsWith("graft:")) {
+          js.stageIds.foreach(stageJob(_) = desc)
+          jobDesc(js.jobId) = desc
+          jobT0(js.jobId) = System.nanoTime()
+        }
       }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        (jobDesc.remove(je.jobId), jobT0.remove(je.jobId)) match {
+          case (Some(desc), Some(t0)) =>
+            val w = (System.nanoTime() - t0) / 1e9
+            jobWall.updateWith(desc)(prev => Some(prev.getOrElse(0.0) + w))
+          case _ =>
+        }
       override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         if (stageJob.contains(ss.stageInfo.stageId)) {
           stageT0(ss.stageInfo.stageId) = System.nanoTime()
@@ -107,7 +134,7 @@ object ScalingBench {
         val id = sc.stageInfo.stageId
         (stageJob.remove(id), stageT0.remove(id), stageTaskMs.remove(id)) match {
           case (Some(job), Some(t0), Some(ms)) =>
-            rows.add((job, sc.stageInfo.name.takeWhile(_ != '\n'),
+            rows.add((job, scopeOf(sc.stageInfo),
               (System.nanoTime() - t0) / 1e9, ms.get() / 1000.0,
               sc.stageInfo.numTasks))
           case _ =>
@@ -121,10 +148,12 @@ object ScalingBench {
           (ss.map(_._3).sum, ss.map(_._4).sum)
         }.toMap
         byPhase.toSeq.sortBy(-_._2._1).foreach { case (ph, (w, t)) =>
-          println(f"  PHASE $ph%-36s stage-wall-sum=$w%7.1fs task-sum=$t%8.1fs par=${t / math.max(w, 1e-9)}%5.1f")
+          val jw = jobWall.getOrElse(ph, 0.0)
+          println(f"  PHASE $ph%-36s job-wall=$jw%7.1fs stage-wall-sum=$w%7.1fs task-sum=$t%8.1fs par=${t / math.max(jw, 1e-9)}%5.1f")
         }
-        all.sortBy(-_._3).take(12).foreach { case (ph, st, w, t, n) =>
-          println(f"    STAGE $ph%-34s ${st.take(46)}%-46s wall=$w%6.1fs tasks=$n%4d par=${t / math.max(w, 1e-9)}%5.1f")
+        jobWall.clear()
+        all.sortBy(-_._3).take(16).foreach { case (ph, st, w, t, n) =>
+          println(f"    STAGE $ph%-34s ${st.take(72)}%-72s wall=$w%6.1fs tasks=$n%4d par=${t / math.max(w, 1e-9)}%5.1f")
         }
       }
     }

@@ -328,6 +328,18 @@ object SparkEntry {
     "q41_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(docs(s, dir), n = 2).orderBy("doc_id")),
 
+    // cross-corpus NEAR-dup decontamination (the fuzzy complement of
+    // q40's exact n-gram overlap): corpus docs (odd ids) whose exact
+    // Jaccard vs any stand-in eval doc (even ids — the split crosses 12
+    // of the 25 planted near-dup pairs at sf0.01) clears the threshold,
+    // found via banded MinHash with the benchmark side broadcast.
+    "q42_near_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Lsh.crossDupPairs(d.where(pmod(col("doc_id"), lit(2)) === 1),
+          d.where(pmod(col("doc_id"), lit(2)) === 0), cfg)
+        .orderBy("doc_id", "ref_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -576,6 +588,13 @@ object SparkEntry {
         |GROUP BY g.doc_id, b.bench_id
         |HAVING count(*) >= 3
         |ORDER BY g.doc_id, b.bench_id""".stripMargin,
+    "q42_near_decontamination" ->
+      s"""WITH sh AS ($shingleSetsSql)
+         |SELECT x.doc_id AS doc_id, y.doc_id AS ref_id,
+         |       len(list_intersect(x.s, y.s)) / len(list_distinct(x.s || y.s)) AS jaccard
+         |FROM sh x JOIN sh y ON x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+         |WHERE len(list_intersect(x.s, y.s)) / len(list_distinct(x.s || y.s)) >= ${cfg.jaccardThreshold}
+         |ORDER BY doc_id, ref_id""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs

@@ -693,6 +693,87 @@ object Lsh {
     verifyHamming(simhashCandidatePairs(keys, cfg), sims, cfg)
   }
 
+  /** Cross-corpus near-duplicate hits: corpus docs whose exact Jaccard
+    * against ANY `reference` doc is ≥ cfg.jaccardThreshold, discovered via
+    * the banded MinHash keys (the same 1−(1−J^r)^b recall bound as the
+    * self-join family) and EXACTLY verified. Output: (doc_id, ref_id,
+    * jaccard), one row per qualifying cross pair.
+    *
+    * This is benchmark decontamination by NEAR-duplicate — the fuzzy
+    * complement of `TextOps.contaminatedDocs`' exact n-gram overlap: a
+    * lightly-edited copy of an eval-set doc shares few exact 5-grams but
+    * keeps Jaccard high, and must still be dropped before training.
+    *
+    * 100 TB shape: the reference (benchmark) side is small, so it drives
+    * everything broadcast-side and THE CORPUS NEVER SHUFFLES —
+    *  - corpus band keys are semi-restricted map-side against the
+    *    broadcast distinct reference keys (almost all corpus rows die
+    *    here, before any exchange);
+    *  - the hot-key census runs over that collided remnant only (the
+    *    full-corpus census the self-join family needs is unnecessary:
+    *    a corpus-hot key matters only if the reference also has it);
+    *  - keys with > `maxBucket` corpus members are EXCLUDED from
+    *    candidate generation — the B3 loud-drop discipline
+    *    (`crossSuppressedEstimate` quantifies the drop; a true near-dup
+    *    still collides on its other b−1 bands);
+    *  - the verify join probes corpus shingles restricted to candidate
+    *    ids (AQE broadcasts the id list) against the broadcast reference
+    *    shingles.
+    */
+  def crossDupPairs(corpus: DataFrame, reference: DataFrame, cfg: DedupConfig,
+                    maxBucket: Int = 100 * 1000): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // shingles feed the key chain AND the verify payload — one pass each
+    val cSh = shingled(corpus, cfg).localCheckpoint(false, ser)
+    val rSh = shingled(reference, cfg).localCheckpoint(false, ser)
+    val rKeys = minhashBandKeys(signatures(rSh, cfg), cfg)
+      .select(col("doc_id").as("ref_id"), col("key"))
+      .localCheckpoint(false, ser) // consumed by the semi AND the key join
+    val collided = minhashBandKeys(signatures(cSh, cfg), cfg)
+      .select("doc_id", "key")
+      .join(broadcast(rKeys.select("key").distinct()), Seq("key"), "left_semi")
+    val hot = collided.groupBy("key").count()
+      .where(col("count") > maxBucket).select("key")
+    val cands = collided.join(broadcast(hot), Seq("key"), "left_anti")
+      .join(broadcast(rKeys), "key")
+      .select("doc_id", "ref_id").distinct()
+    val ca = cSh.join(cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shingles").as("sh_a"))
+    val rb = rSh.select(col("doc_id").as("ref_id"), col("shingles").as("sh_b"))
+    cands.join(ca, "doc_id").join(broadcast(rb), "ref_id")
+      .withColumn("jaccard", Fns.jaccardSorted(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+  }
+
+  /** The loud side of `crossDupPairs`' hot-key cap: (hot keys, suppressed
+    * candidate pairs) that the cap excluded — corpus-bucket × ref-bucket
+    * summed over keys with > maxBucket corpus members. Zero in the normal
+    * regime; a boilerplate key shared with the benchmark reports here
+    * instead of disappearing. */
+  def crossSuppressedEstimate(corpus: DataFrame, reference: DataFrame,
+                              cfg: DedupConfig, maxBucket: Int = 100 * 1000): DataFrame = {
+    val rKeyCnt = minhashBandKeys(signatures(shingled(reference, cfg), cfg), cfg)
+      .groupBy("key").agg(count(lit(1)).as("rc"))
+    val cCnt = minhashBandKeys(signatures(shingled(corpus, cfg), cfg), cfg)
+      .select("doc_id", "key")
+      .join(broadcast(rKeyCnt.select("key")), Seq("key"), "left_semi")
+      .groupBy("key").count()
+    cCnt.where(col("count") > maxBucket)
+      .join(broadcast(rKeyCnt), "key")
+      .agg(count(lit(1)).as("hot_keys"),
+           coalesce(sum(col("count") * col("rc")), lit(0L)).as("suppressed_candidates"))
+  }
+
+  /** Near-dup decontamination (the training-data policy over
+    * `crossDupPairs`): the corpus with every doc near-duplicating a
+    * reference doc removed — one anti-join against the (small) hit list. */
+  def decontaminateNearDup(corpus: DataFrame, reference: DataFrame,
+                           cfg: DedupConfig, maxBucket: Int = 100 * 1000): DataFrame =
+    corpus.join(
+      crossDupPairs(corpus, reference, cfg, maxBucket).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** V3 — evidence accumulation [FredJain05]: union of verified pair
     * families, canonicalized and tagged. Schema: (a, b, family). */
   def dupPairs(minhash: DataFrame, simhash: DataFrame, substr: DataFrame): DataFrame = {

@@ -185,15 +185,18 @@ object ConnectedComponents {
   /** Single-task union-find over a (materialized) edge set that fits one
     * task's working-set budget: primitive arrays end-to-end (edge longs →
     * sorted-unique node ids → int parent forest with path halving + union
-    * by size), then min doc_id per root. `coalesce(1)` streams the cached
-    * edge blocks into one executor task without a shuffle; no driver
-    * collect. Output: (doc_id, cluster_id) for every node in the edge set —
-    * identical to the iterative path's contract. */
+    * by size), then min doc_id per root. Two stages: a PARALLEL pack pass
+    * decodes each partition's tuples into primitive-array blobs (a
+    * `coalesce(1)` chain ran the whole 2×|E| row decode inside the single
+    * task — measured as a 2–5 s single-task stage at 3M edges/32 cpus;
+    * the blob shuffle moves the same 16 bytes/edge but decodes them in
+    * bulk), then one task merges the blobs and runs the forest; no driver
+    * collect. Output: (doc_id, cluster_id) for every node in the edge set
+    * — identical to the iterative path's contract. */
   private[operators] def assignLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("src"), col("dst")).as[(Long, Long)]
-      .coalesce(1)
       .mapPartitions { it =>
         var ea = new Array[Long](1024)
         var eb = new Array[Long](1024)
@@ -207,7 +210,23 @@ object ConnectedComponents {
           ea(m) = a; eb(m) = b; m += 1
         }
         if (m == 0) Iterator.empty
+        else Iterator.single(
+          (java.util.Arrays.copyOf(ea, m), java.util.Arrays.copyOf(eb, m)))
+      }
+      .repartition(1)
+      .mapPartitions { blobs =>
+        val chunks = blobs.toArray
+        val m = chunks.iterator.map(_._1.length).sum
+        if (m == 0) Iterator.empty
         else {
+          val ea = new Array[Long](m)
+          val eb = new Array[Long](m)
+          var off = 0
+          chunks.foreach { case (ca, cb) =>
+            System.arraycopy(ca, 0, ea, off, ca.length)
+            System.arraycopy(cb, 0, eb, off, cb.length)
+            off += ca.length
+          }
           val ids = new Array[Long](2 * m)
           System.arraycopy(ea, 0, ids, 0, m)
           System.arraycopy(eb, 0, ids, m, m)

@@ -340,6 +340,44 @@ object SparkEntry {
         .orderBy("doc_id", "ref_id")
     }),
 
+    // X6 — cross-corpus EXACT-substring decontamination ([Lee22] §4's
+    // verbatim train-test overlap, the strongest predicate; q40/q42 are
+    // the fuzzy complements). Same odd/even split as q42. Oracle-checked
+    // on the CONTAINMENT regime (match_len = the shorter doc's full
+    // length), where DuckDB `position()` decides membership exactly —
+    // the q30 discipline, cross-corpus.
+    "q43_substr_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val guarantee = cfg.gramLen + cfg.winnowW - 1
+      val lens = d.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("blen"))
+      graft.operators.ExactSubstr.crossContamination(
+          d.where(pmod(col("doc_id"), lit(2)) === 1),
+          d.where(pmod(col("doc_id"), lit(2)) === 0), cfg)
+        .join(lens.withColumnRenamed("blen", "len_a"), "doc_id")
+        .join(lens.select(col("doc_id").as("bench_id"), col("blen").as("len_b")),
+              "bench_id")
+        .where(col("match_len") === least(col("len_a"), col("len_b")) &&
+               least(col("len_a"), col("len_b")) >= guarantee)
+        .select(col("doc_id"), col("bench_id"),
+                col("match_len").cast("long").as("match_len"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // TX12 — per-domain curation census over canonical hosts (the table
+    // domain-mix curation samples from). URLs synthesized exactly as in
+    // q36; text identity is the md5 digest, never the text.
+    "q44_domain_stats" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTP://W"), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 7).cast("string"))
+      TextOps.domainStats(docs(s, dir), url, col("text"))
+        .select(col("host"), col("n_docs"), col("n_unique_texts"),
+                col("total_bytes"), col("n_exact_dup_docs"))
+        .orderBy("host")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -595,6 +633,29 @@ object SparkEntry {
          |FROM sh x JOIN sh y ON x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
          |WHERE len(list_intersect(x.s, y.s)) / len(list_distinct(x.s || y.s)) >= ${cfg.jaccardThreshold}
          |ORDER BY doc_id, ref_id""".stripMargin,
+    "q43_substr_decontamination" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents)
+         |SELECT x.doc_id AS doc_id, y.doc_id AS bench_id,
+         |       CAST(least(x.blen, y.blen) AS BIGINT) AS match_len
+         |FROM d x JOIN d y ON x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+         |WHERE least(x.blen, y.blen) >= ${cfg.gramLen + cfg.winnowW - 1}
+         |  AND CASE WHEN x.blen <= y.blen THEN position(x.text IN y.text) > 0
+         |           ELSE position(y.text IN x.text) > 0 END
+         |ORDER BY doc_id, bench_id""".stripMargin,
+    "q44_domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text,
+         |    'HTTP://W' || source || '.Example.COM' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+         |    '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
+         |  FROM documents)
+         |SELECT lower(regexp_extract(url,
+         |         '${TextOps.urlHostPattern}', 1)) AS host,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT md5(text)) AS n_unique_texts,
+         |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+         |       count(*) - count(DISTINCT md5(text)) AS n_exact_dup_docs
+         |FROM u GROUP BY host ORDER BY host""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs

@@ -349,6 +349,98 @@ object ExactSubstr {
     lo + L + hi
   }
 
+  /** X6 — cross-corpus exact-substring decontamination ([Lee22] §4's
+    * train-test overlap check, the strongest decontamination predicate:
+    * a verbatim byte run shared with a benchmark doc; q40's n-gram overlap
+    * and q42's MinHash route are the fuzzy complements): corpus docs whose
+    * text shares an exact run of ≥ `minMatch` bytes with any benchmark doc,
+    * as (doc_id, bench_id, match_len) with the MAXIMAL verified run per
+    * pair.
+    *
+    * Route: the winnowed gram index runs on BOTH corpora — winnowing is a
+    * function of content alone, so a shared run selects the same grams on
+    * both sides. Benchmark witnesses per gram are the deterministic minimal
+    * (bench_id, off) entries, capped at `witnessCap` with every excess
+    * COUNTED into the caller's accumulator (loud, never silent: a
+    * boilerplate gram shared across the benchmark suite reports instead of
+    * disappearing), and broadcast; corpus grams probe the broadcast
+    * map-side, so the corpus never shuffles by gram. Texts are fetched for
+    * candidate docs only (semi-restriction), the benchmark text table
+    * broadcasts, and all witness offsets of a (doc, bench) pair byte-verify
+    * inside one task against one fetched text pair.
+    *
+    * Contract: sound (every emitted run is byte-verified maximal) and
+    * complete for runs ≥ gramLen + winnowW − 1 bytes (the winnowing
+    * guarantee); a `minMatch` below the guarantee lowers only the
+    * REPORTING floor — runs in [gramLen, guarantee) collide only when both
+    * sides happen to select the same gram (the intra-corpus family closes
+    * that band with the SA shard route, which has no cross-corpus
+    * equivalent here because the benchmark side broadcasts instead of
+    * co-sharding). `minMatch <= 0` means the guarantee itself. Deliberately
+    * NO substrMinFrac relative filter (unlike the intra-corpus family): a
+    * 200-byte benchmark answer inside a 100 KB page IS contamination.
+    *
+    * Scale: benchmark suites are 10^3–10^6 small docs against a 10^12-doc
+    * corpus — the witness table and benchmark texts broadcast; corpus-side
+    * work is the ~4%-density gram scan, a map-side broadcast probe, and
+    * per-candidate text fetches. */
+  def crossContamination(corpus: DataFrame, bench: DataFrame, cfg: DedupConfig,
+                         minMatch: Int = 0, witnessCap: Int = 8,
+                         droppedWitnesses: Option[LongAccumulator] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val floor = math.max(
+      if (minMatch <= 0) cfg.gramLen + cfg.winnowW - 1 else minMatch,
+      cfg.gramLen) // below gramLen the witness itself can't verify
+    val witnesses = gramIndex(bench.select("doc_id", "text"), cfg).toDF()
+      .groupBy("gram")
+      .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("off")))),
+                 1, witnessCap).as("ws"),
+           count(lit(1)).as("n"))
+    val witnessesCounted = droppedWitnesses match {
+      case Some(acc) => witnesses.as[(Long, Seq[(Long, Int)], Long)]
+        .mapPartitions { it =>
+          it.map { case r @ (_, ws, n) => acc.add(math.max(0L, n - ws.size)); r }
+        }.toDF("gram", "ws", "n")
+        // the tuple-encoder round trip renames the struct fields to _1/_2;
+        // restore (doc_id, off) so both branches feed the same downstream
+        .select(col("gram"),
+                transform(col("ws"), w => struct(
+                  w.getField("_1").as("doc_id"),
+                  w.getField("_2").as("off"))).as("ws"),
+                col("n"))
+      case None => witnesses
+    }
+    // one row per (corpus doc, bench doc) carrying ALL witness offset pairs:
+    // the verify task tries each and keeps the maximal run, so the text
+    // join ships each candidate text exactly once. Offsets per pair are
+    // bounded by the doc's own selected grams (~4% of its bytes) ×
+    // witnessCap.
+    val cands = gramIndex(corpus.select("doc_id", "text"), cfg).toDF()
+      .join(broadcast(witnessesCounted.select("gram", "ws")), Seq("gram"))
+      .select(col("doc_id"), col("off").as("off_a"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w.doc_id").as("bench_id"))
+      .agg(collect_set(struct(col("off_a"), col("w.off").as("off_b"))).as("offs"))
+    val ca = corpus.select(col("doc_id"), col("text").as("text_a"))
+      .join(cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val cb = bench.select(col("doc_id").as("bench_id"), col("text").as("text_b"))
+    cands.join(ca, "doc_id").join(broadcast(cb), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("offs"),
+              col("text_a"), col("text_b"))
+      .as[(Long, Long, Seq[(Int, Int)], String, String)]
+      .flatMap { case (a, b, offs, sa, sb) =>
+        val ba = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var best = 0
+        offs.foreach { case (oa, ob) =>
+          val len = matchedRun(ba, oa, bb, ob, cfg.gramLen)
+          if (len > best) best = len
+        }
+        if (best >= floor) Iterator.single((a, b, best)) else Iterator.empty
+      }.toDF("doc_id", "bench_id", "match_len")
+  }
+
   /** Per-task shard size target. A shard of n bytes needs ~16n bytes of
     * int arrays for the suffix sort (sa/rank/rank2/tmp), so 16 MB shards
     * keep each task's working set ≈ 256 MB — safe with many concurrent

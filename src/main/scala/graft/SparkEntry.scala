@@ -394,6 +394,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A6 — per-lang doc-length quantile sketch (one-pass mergeable GK
+    // sketch, map-side partials — the scale path for distribution
+    // dashboards). Group sizes at test SFs are <= the sketch accuracy,
+    // so results are EXACT members of the input and the DuckDB oracle
+    // checks the nearest-rank rule; the compressed regime's error bound
+    // is spec-asserted.
+    "q46_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(docs(s, dir), "lang", "n_chars")
+        .select(col("lang"), col("n_docs"), col("v_min"), col("v_max"),
+                col("p50"), col("p90"), col("p99"))
+        .orderBy("lang")),
+
     // J2 — broadcast dimension join + aggregate (orders ⋈ customer).
     "q19_seg_join" -> ((s, dir) =>
       TestData.table(s, dir, "orders")
@@ -679,6 +691,17 @@ object SparkEntry {
         |SELECT n.doc_id, n.lang FROM newd n
         |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
         |ORDER BY doc_id""".stripMargin,
+    "q46_length_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |       min(n_chars) AS v_min, max(n_chars) AS v_max,
+        |       max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN n_chars END) AS p50,
+        |       max(CASE WHEN rn = greatest(1, ceil(0.9 * n)) THEN n_chars END) AS p90,
+        |       max(CASE WHEN rn = greatest(1, ceil(0.99 * n)) THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs

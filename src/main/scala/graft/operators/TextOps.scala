@@ -118,6 +118,32 @@ object TextOps {
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
         sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant_docs"))
 
+  /** A6 — per-group quantile sketch over a numeric column (doc-length
+    * distributions per lang/source are the curation dashboard's backbone).
+    * `percentile_approx` is Spark's one-pass MERGEABLE Greenwald–Khanna
+    * sketch: map-side partial aggregation, no window, no per-group value
+    * buffer — the 100 TB shape (an exact per-group percentile needs the
+    * group's values in one place; the sketch trades that for a rank-error
+    * bound of n/accuracy, spec-asserted). Returned quantiles are always
+    * MEMBERS of the input (no interpolation), and for groups with ≤
+    * `accuracy` rows the sketch holds everything so the result is EXACT —
+    * the regime q46's DuckDB oracle checks; the compressed regime is
+    * covered by the error-bound spec. */
+  def lengthQuantiles(docs: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      accuracy: Int = 10000): DataFrame = {
+    val qs = percentile_approx(col(valueCol),
+      array(ps.map(lit): _*), lit(accuracy))
+    val base = docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      min(col(valueCol)).as("v_min"),
+      max(col(valueCol)).as("v_max"),
+      qs.as("qv"))
+    ps.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
+      df.withColumn(s"p${math.round(p * 100)}", col("qv").getItem(i))
+    }.drop("qv")
+  }
+
   /** BPE-ish tokenizer regex (brief: "whitespace + a BPE-ish regex"):
     * letter runs, digit runs, and single non-alphanumeric marks — the
     * coarse shape of byte-pair pretokenization. RE2/Java-regex-portable

@@ -322,4 +322,36 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.incrementalExactDedup(nw, old, expectedOldItems = 1L, fpp = 0.5)
       .select("doc_id").as[Long].collect().sorted === Array(2L))
   }
+
+  test("lengthQuantiles: exact nearest-rank members uncompressed; rank error <= n/accuracy compressed") {
+    val n = 5000
+    val rnd = new java.util.SplittableRandom(7)
+    val vals = Array.fill(n)(rnd.nextInt(1000000).toLong)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toSeq.toDF("doc_id", "g", "len")
+    val sorted = vals.sorted
+    def rankVal(p: Double) = sorted(math.max(1, math.ceil(p * n).toInt) - 1)
+    // uncompressed (n <= accuracy): exact value at rank ceil(p*n) — the
+    // rule the q46 DuckDB oracle mirrors
+    val exact = TextOps.lengthQuantiles(df, "g", "len").collect()(0)
+    assert(exact.getAs[Long]("n_docs") === n.toLong)
+    assert(exact.getAs[Long]("v_min") === sorted.head)
+    assert(exact.getAs[Long]("v_max") === sorted.last)
+    for ((p, c) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99")))
+      assert(exact.getAs[Long](c) === rankVal(p), c)
+    // compressed (accuracy = 100 << n): GK bound — the returned value's
+    // rank window must intersect [p*n - n/acc, p*n + n/acc], and the
+    // value must be a MEMBER of the input (no interpolation)
+    val approx = TextOps.lengthQuantiles(df, "g", "len", accuracy = 100).collect()(0)
+    val err = n / 100
+    for ((p, c) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+      val v = approx.getAs[Long](c)
+      assert(vals.contains(v), s"$c not a member")
+      val hiRank = sorted.count(_ <= v)
+      val loRank = sorted.indexWhere(_ == v) + 1
+      val target = p * n
+      assert(loRank - err <= target && target <= hiRank + err,
+        s"$c rank [$loRank,$hiRank] vs target $target +- $err")
+    }
+  }
 }

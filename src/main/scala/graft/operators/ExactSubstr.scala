@@ -383,7 +383,9 @@ object ExactSubstr {
     * Scale: benchmark suites are 10^3–10^6 small docs against a 10^12-doc
     * corpus — the witness table and benchmark texts broadcast; corpus-side
     * work is the ~4%-density gram scan, a map-side broadcast probe, and
-    * per-candidate text fetches. */
+    * per-candidate text fetches. The drop count is an ESTIMATE with the
+    * same caveat as `candidates`' census: it rides the witness subplan's
+    * tasks, so a broadcast rebuild or task retry can double-count. */
   def crossContamination(corpus: DataFrame, bench: DataFrame, cfg: DedupConfig,
                          minMatch: Int = 0, witnessCap: Int = 8,
                          droppedWitnesses: Option[LongAccumulator] = None)

@@ -66,44 +66,49 @@ object TextOps {
       : DataFrame = {
     val spark = newDocs.sparkSession
     val outCols = newDocs.columns.toSeq.map(col)
-    val oldK64 = oldDocs.select(xxhash64(col("text")).as("k64"))
+    // graft-prefixed working columns so a caller's own k64/k128 survives
+    val (k64c, k128c, mightC) = ("__graft_k64", "__graft_k128", "__graft_might_dup")
+    val oldK64 = oldDocs.select(xxhash64(col("text")).as(k64c))
     // an empty prior corpus can't dedup anything — and Spark's sketch
     // aggregate over zero rows yields a filter with a null bit buffer
     if (oldK64.isEmpty) return newDocs
     val n = if (expectedOldItems > 0L) expectedOldItems
             else math.max(oldK64.count(), 1L)
-    val bloom = oldK64.stat.bloomFilter("k64", n, fpp)
+    val bloom = oldK64.stat.bloomFilter(k64c, n, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val keyed = newDocs
-      .withColumn("k64", xxhash64(col("text")))
-      .withColumn("k128", md5(col("text")))
+      .withColumn(k64c, xxhash64(col("text")))
+      .withColumn(k128c, md5(col("text")))
     // broadcast Bloom probe — per-partition shared sketch state, so
     // mapPartitions rather than a (banned) UDF; Row-encoded to stay
     // schema-generic
-    val probedSchema = keyed.schema.add("might_dup", "boolean")
-    val k64Idx = keyed.schema.fieldIndex("k64")
+    val probedSchema = keyed.schema.add(mightC, "boolean")
+    val k64Idx = keyed.schema.fieldIndex(k64c)
     val probed = keyed.mapPartitions { it =>
       val bf = bc.value
       it.map(r => org.apache.spark.sql.Row.fromSeq(
         r.toSeq :+ Boolean.box(bf.mightContainLong(r.getLong(k64Idx)))))
     }(org.apache.spark.sql.Encoders.row(probedSchema))
-      // one pass over the increment feeds the gate count + both branches
+      // one pass over the increment feeds the gate count + both branches;
+      // the blocks live until session end (the facade-checkpoint lifetime
+      // contract) — callers looping over many increments should run each
+      // through its own session/stage boundary, as DedupMain's day loop does
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val definiteNew = probed.where(!col("might_dup"))
-    val hits = probed.where(col("might_dup"))
+    val definiteNew = probed.where(!col(mightC))
+    val hits = probed.where(col(mightC))
     val nHits = hits.count()
     val vetted =
       if (nHits == 0L) hits
       else if (nHits <= broadcastMaxHits) {
         // old side stays map-side: semi vs the broadcast hit keys, then
         // the (<= hit-set-sized) matched keys broadcast back for the anti
-        val matched = oldDocs.select(md5(col("text")).as("k128"))
-          .join(broadcast(hits.select("k128").distinct()), Seq("k128"), "left_semi")
+        val matched = oldDocs.select(md5(col("text")).as(k128c))
+          .join(broadcast(hits.select(k128c).distinct()), Seq(k128c), "left_semi")
           .distinct()
-        hits.join(broadcast(matched), Seq("k128"), "left_anti")
+        hits.join(broadcast(matched), Seq(k128c), "left_anti")
       } else {
-        hits.join(oldDocs.select(md5(col("text")).as("k128")),
-                  Seq("k128"), "left_anti")
+        hits.join(oldDocs.select(md5(col("text")).as(k128c)),
+                  Seq(k128c), "left_anti")
       }
     definiteNew.select(outCols: _*).unionByName(vetted.select(outCols: _*))
   }

@@ -204,6 +204,53 @@ object ScalingBench {
       spark.stop(); return
     }
 
+    // cross-corpus ops at scale (SPARK_GRAFT_XOPS=1): the q43 exact-
+    // substring decontamination operator against a 0.1% "benchmark" split
+    // (planted dups + the boilerplate clique cross the split, so the
+    // witness cap and the star-free candidate path get a real stress), and
+    // the q45 Bloom-prefiltered exact-dedup increment check with a 1%
+    // "increment". Walls min-of-k, outputs + loud-cap counters disclosed.
+    if (sys.env.contains("SPARK_GRAFT_XOPS")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+      val docs = DedupMain.toDocs(spark.read.parquet(corpus))
+      val bench = docs.where(pmod(col("doc_id"), lit(1000)) === 0)
+      val corpusSide = docs.where(pmod(col("doc_id"), lit(1000)) =!= 0)
+      var contamPairs = 0L
+      var droppedW = 0L
+      def contam(): Double = {
+        val acc = spark.sparkContext.longAccumulator("droppedWitnesses")
+        val t0 = System.nanoTime()
+        contamPairs = graft.operators.ExactSubstr
+          .crossContamination(corpusSide, bench, cfg, droppedWitnesses = Some(acc))
+          .count()
+        droppedW = acc.value
+        (System.nanoTime() - t0) / 1e9
+      }
+      val newD = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+      val oldD = docs.where(pmod(col("doc_id"), lit(100)) =!= 0)
+      var survivors = 0L
+      def inc(): Double = {
+        val t0 = System.nanoTime()
+        survivors = graft.operators.TextOps
+          .incrementalExactDedup(newD, oldD, expectedOldItems = n.toLong).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      contam(); inc() // warm
+      val cWalls = (1 to reps).map(_ => contam())
+      val iWalls = (1 to reps).map { _ =>
+        val w = inc()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        w
+      }
+      println(s"""{"bench":"xops","docs":$n,"cpus":$cpus,""" +
+        s""""contam_wall_sec":${cWalls.min},"contam_walls":[${cWalls.mkString(",")}],""" +
+        s""""contam_pairs":$contamPairs,"dropped_witnesses":$droppedW,""" +
+        s""""inc_wall_sec":${iWalls.min},"inc_walls":[${iWalls.mkString(",")}],""" +
+        s""""inc_new_docs":${newD.count()},"inc_survivors":$survivors,${burn.json}}""")
+      spark.stop(); return
+    }
+
     // stage-by-stage timing mode for bottleneck hunting: each stage is a
     // FRESH chain per rep (no shared localCheckpoint blocks), min-of-k
     // against the 2-20x host noise

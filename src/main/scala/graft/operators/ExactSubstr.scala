@@ -424,6 +424,10 @@ object ExactSubstr {
       .select(col("doc_id"), col("off").as("off_a"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("w.doc_id").as("bench_id"))
       .agg(collect_set(struct(col("off_a"), col("w.off").as("off_b"))).as("offs"))
+      // consumed by the text semi-restriction AND the payload join — without
+      // this the whole corpus gram scan + witness build runs twice (caught
+      // by a plan probe: the candidate subtree appeared twice pre-AQE)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ca = corpus.select(col("doc_id"), col("text").as("text_a"))
       .join(cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
     val cb = bench.select(col("doc_id").as("bench_id"), col("text").as("text_b"))

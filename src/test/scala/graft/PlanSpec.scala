@@ -198,6 +198,46 @@ class PlanSpec extends SparkSuite {
       s"clusters must not use a per-cluster window:\n$plan")
   }
 
+  test("domainStats shuffles digests, not texts: first exchange keyed (host, md5)") {
+    // the distinct-count's shuffle key must include the digest so one hot
+    // host (a single domain can be 1%+ of the web) spreads across reducers
+    val docs = Seq(
+      (1L, "dup text", "http://h.example.com/a"),
+      (2L, "dup text", "http://h.example.com/b"),
+      (3L, "unique", "http://h.example.com/c")).toDF("doc_id", "text", "url")
+    val out = graft.operators.TextOps.domainStats(docs, col("url"), col("text"))
+    out.collect() // materialize so AQE prints the FINAL plan
+    val plan = physicalPlan(out)
+    val keyedExchange = plan.split("\n").exists(l =>
+      l.contains("Exchange hashpartitioning(host") && l.contains("md5("))
+    assert(keyedExchange,
+      s"expected an exchange keyed (host, md5(text)) — hot-host spread:\n$plan")
+    assert(!plan.contains("Window"), s"no per-host window:\n$plan")
+  }
+
+  test("incrementalExactDedup: a fully-novel increment plans with NO join at all") {
+    // the common case (most of an increment is new) must be a pure
+    // map-side Bloom probe: misses union through without any join
+    val nw = Seq((1L, "x text"), (2L, "y text")).toDF("doc_id", "text")
+    val old = Seq((3L, "z text")).toDF("doc_id", "text")
+    val plan = physicalPlan(
+      graft.operators.TextOps.incrementalExactDedup(nw, old))
+    assert(!plan.contains("Join"),
+      s"zero Bloom hits must mean zero joins:\n$plan")
+    assert(plan.contains("Union"), s"misses + (empty) hits union:\n$plan")
+  }
+
+  test("crossContamination payload joins are broadcast, never sort-merge") {
+    val c = cfg.copy(gramLen = 10, winnowW = 5)
+    val corpus = Seq((1L, "aaaa THE-SHARED-RUN-CONTENT bbbb")).toDF("doc_id", "text")
+    val bench = Seq((2L, "cccc THE-SHARED-RUN-CONTENT dddd")).toDF("doc_id", "text")
+    val plan = physicalPlan(
+      graft.operators.ExactSubstr.crossContamination(corpus, bench, c))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"benchmark texts must broadcast into the verify join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
   test("signature projection stays inside whole-stage codegen, evaluated once") {
     val docs = TestData.documents(spark, "/root/testdata/sf0.001")
     val keys = Lsh.minhashBandKeys(Lsh.signatures(Lsh.shingled(docs, cfg), cfg), cfg)

@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Periodic driver GC (default 30 MIN) is what drives ContextCleaner:
+  // shuffle files, broadcasts and checkpoint blocks of finished queries
+  // are only released after a GC collects their weak references. A
+  // 46-query bench loop accumulated all of it for the whole run —
+  // measured as walls GROWING across reps (6.4 → 12.2 → 23.3 s on the
+  // facade) and late-run 50–100 s outliers; a 90 s cadence keeps the
+  // session flat (spark_optimization_guide §5: unpersist when done).
+  "-Dspark.cleaner.periodicGC.interval=90s",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -140,9 +140,14 @@ object SparkEntry {
       graft.Dedup.clusters(docs(s, dir), cfg).orderBy("doc_id")),
 
     // M3 — MinHashUnion Aggregator: per-lang set-union signature.
+    // lang rides the signature projection from ONE scan instead of a
+    // doc_id self-join of two scans (r7: join dropped — the aggregator's
+    // input rows are identical, so the union signature and counts are
+    // bit-identical; plan loses both join exchanges, guide §2.4).
     "q23_lang_signature" -> ((s, dir) => {
-      val sigs = Lsh.signatures(Lsh.shingled(docs(s, dir), cfg), cfg)
-        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      val sigs = docs(s, dir).select(col("doc_id"), col("lang"),
+        graft.functions.Fns.minhashSig(
+          graft.functions.Fns.shingleHashes(col("text"), cfg), cfg).as("minhash"))
       val union = udaf(graft.functions.MinHashUnion)
       sigs.groupBy("lang")
         .agg(element_at(union(col("minhash")), 1).as("sig_head"),

@@ -31,27 +31,117 @@ object AnnOps {
    *  2. a tiny second join re-attaches vectors and emits the exact cos
    *     for the survivors — bit-identical to the oracle's formula.
    */
+  /** Spread the O(n²) probe side of the brute-force kernels over the
+    * pool: the embeddings table is typically ONE parquet file, so without
+    * this the whole n² cosine loop runs inside a single scan task
+    * (measured: q16 wall ≈ Σ-task-time ≈ 3 s on one core at n=2000×64d).
+    * Hash on vec_id (deterministic — guide §2.5) with an explicit
+    * partition count so AQE's byte-based coalescing cannot fold the
+    * compute-heavy-but-byte-light side back to one task; count follows
+    * the session's parallelism, never a constant. */
+  private def spreadProbe(emb: DataFrame): DataFrame =
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+
+  /** The corpus as a broadcastable primitive snapshot, ascending vec_id.
+    * Same memory contract as the `broadcast(b)` build side of the join
+    * formulation this replaces (the brute route is explicitly fenced to
+    * corpora that fit one executor — never the 100 TB path). */
+  private def corpusSnapshot(emb: DataFrame): Array[(Long, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+  }
+
+  /** CosineSim's exact arithmetic (double accumulation in ascending index
+    * order — bit-identical to the expression and the DuckDB oracle);
+    * NaN result stands in for the expression's null (zero norm or length
+    * mismatch) — callers translate. */
+  private def cosineOrNaN(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN else dot / math.sqrt(na * nb)
+  }
+
+  /**
+   * Exact threshold pairs (a, b, cos), a < b — in-task kernel: each task
+   * scans its probe vectors against the broadcast corpus with the
+   * primitive cosine loop and emits survivors directly. Replaces the
+   * crossJoin + expression-filter + re-join formulation (r7): the 4M-row
+   * candidate stream, its per-pair boxed expression evaluation and the
+   * second cosine pass all disappear; output is bit-identical (same
+   * accumulation order, null-cos pairs fail the threshold exactly as the
+   * SQL null comparison did).
+   */
   def bruteCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    val cand = a.crossJoin(broadcast(b))
-      .where(col("a") < col("b") && Fns.cosineSim(col("ea"), col("eb")) >= threshold)
-      .select("a", "b")
-    withCosine(cand, emb).select("a", "b", "cos")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpusSnapshot(emb))
+    spreadProbe(emb).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (a, va) =>
+          corpus.iterator.collect {
+            case (b, vb) if a < b =>
+              (a, b, cosineOrNaN(va, vb))
+          }.filter { case (_, _, c) => !c.isNaN && c >= threshold }
+        }
+      }
+      .toDF("a", "b", "cos")
   }
 
   /** Exact top-k cosine neighbors: (vec_id, rank, neighbor_id, cos).
-    * Ties broken by neighbor_id for full determinism. */
+    * Ties broken by neighbor_id for full determinism — the comparator is
+    * exactly the window ordering (cos DESC NULLS LAST, neighbor_id ASC)
+    * of the crossJoin + row_number formulation this in-task kernel
+    * replaces (r7; parity spec-asserted incl. zero-norm null-cos rows). */
   def bruteTopK(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("neighbor_id"))
-    a.crossJoin(broadcast(b))
-      .where(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", Fns.cosineSim(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpusSnapshot(emb))
+    spreadProbe(emb).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (id, v) =>
+          // bounded insertion buffer: top-k by (cos desc nulls-last, nb asc)
+          val bCos = new Array[Double](k) // NaN = null cos
+          val bNb = new Array[Long](k)
+          var filled = 0
+          // strict "x ranks before slot j" under the window's ordering
+          def before(c: Double, nb: Long, j: Int): Boolean = {
+            val cj = bCos(j)
+            if (c.isNaN) cj.isNaN && nb < bNb(j)
+            else if (cj.isNaN) true
+            else c > cj || (c == cj && nb < bNb(j))
+          }
+          corpus.foreach { case (nb, vn) =>
+            if (nb != id) {
+              val c = cosineOrNaN(v, vn)
+              var j = if (filled < k) filled else k - 1
+              if (filled < k || before(c, nb, k - 1)) {
+                while (j > 0 && before(c, nb, j - 1)) {
+                  bCos(j) = bCos(j - 1); bNb(j) = bNb(j - 1); j -= 1
+                }
+                bCos(j) = c; bNb(j) = nb
+                if (filled < k) filled += 1
+              }
+            }
+          }
+          Iterator.range(0, filled).map { r =>
+            (id, (r + 1).toLong, bNb(r),
+             if (bCos(r).isNaN) Option.empty[Double] else Some(bCos(r)))
+          }
+        }
+      }
+      .toDF("vec_id", "rank", "neighbor_id", "cos")
   }
 
   /** LSH band keys for embeddings: `tables` keys per vector, each from an

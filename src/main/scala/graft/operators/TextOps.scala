@@ -489,13 +489,22 @@ object TextOps {
     * the exact-dedup trade, 2^-64 per pair); the benchmark side is tiny
     * in practice (evals are thousands of items vs 10^12 docs) so AQE
     * broadcasts it and the corpus side never shuffles at all; the
-    * (doc, bench) count is a partial-aggregating groupBy. */
+    * (doc, bench) count is a partial-aggregating groupBy.
+    *
+    * The gram hashes come from the ShingleHashes expression (one fused
+    * byte-level pass: tokenize, hash each n-token span, sort-distinct)
+    * rather than materializing gram STRINGS via transform/array_join/
+    * array_distinct and hashing those — the values are IDENTICAL by the
+    * expression's pinned invariant (each word-shingle hash == xxhash64 of
+    * the space-joined gram string, Spark seed 42; ExpressionsSpec), and the
+    * per-row cost drops by the whole intermediate string materialization
+    * (measured 1.9 → 0.5 s CPU on the q40 shape, guide §4.1/§1.2 step 2). */
   def contaminatedDocs(docs: DataFrame, benchmark: DataFrame,
                        n: Int, minShared: Long): DataFrame = {
     def grams(df: DataFrame, idAs: String) =
       df.select(col("doc_id").as(idAs),
-          explode(wordNgrams(col("text"), n)).as("gram"))
-        .select(col(idAs), xxhash64(col("gram")).as("h"))
+        explode(graft.functions.Fns.shingleHashes(
+          col("text"), "word", n, graft.functions.Xxh.SparkDefaultSeed)).as("h"))
     grams(docs, "doc_id")
       .join(grams(benchmark, "bench_id"), "h")
       .groupBy("doc_id", "bench_id")

@@ -103,6 +103,45 @@ class AnnOpsSpec extends SparkSuite {
     }
   }
 
+  test("brute kernels == the crossJoin+window formulation, incl. zero-norm rows") {
+    // r7: bruteTopK/bruteCosinePairs run an in-task primitive kernel; this
+    // row pins bit-identical parity against the declarative reference they
+    // replaced, on a corpus that includes a ZERO vector (null cosine → the
+    // window's DESC NULLS LAST tail; the threshold filter drops it).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dim = emb.select(col("embedding")).as[Array[Float]].head().length
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((999999L, Array.fill(dim)(0f))).toDF("vec_id", "embedding"))
+      .localCheckpoint()
+    val k = 4
+    val a = withZero.select(col("vec_id"), col("embedding").as("ea"))
+    val b = withZero.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("neighbor_id"))
+    val refTopK = a.crossJoin(broadcast(b))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.Fns.cosineSim(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    val gotTopK = AnnOps.bruteTopK(withZero, k)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(gotTopK === refTopK) // exact doubles incl. None for the zero vec
+    assert(gotTopK.exists(_._1 == 999999L)) // zero vec emits null-cos rows
+
+    val refPairs = a.crossJoin(broadcast(b))
+      .where(col("vec_id") < col("neighbor_id") &&
+             graft.functions.Fns.cosineSim(col("ea"), col("eb")) >= 0.2)
+      .withColumn("cos", graft.functions.Fns.cosineSim(col("ea"), col("eb")))
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("cos"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val gotPairs = AnnOps.bruteCosinePairs(withZero, 0.2)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(gotPairs === refPairs)
+  }
+
   test("embedBandKeys emits exactly `tables` keys per vector, deterministically") {
     val k1 = AnnOps.embedBandKeys(emb, 8, 8, 1L)
       .groupByKey(_ => 0).count().collect().head._2

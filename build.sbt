@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // session flat (spark_optimization_guide §5: unpersist when done).
   "-Dspark.cleaner.periodicGC.interval=90s",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 26k+ JIT nmethods accumulate across one query's reps alone; the
+  // 240 MB default forces code-cache sweeps/recompile churn late in a
+  // 46-query bench loop (CPU-spike class). Plenty of headroom instead.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -814,6 +814,12 @@ object ExactSubstr {
                      numShards: Option[Int] = None,
                      droppedPairs: Option[LongAccumulator] = None)
       : DataFrame = {
+    // Deliberately NOT Lsh.spreadInput here (r7, measured): the family's
+    // five consumers (byte census, gram index, two verify text joins,
+    // shard route) are independent subtrees whose single-task scans
+    // already overlap within one job, and the shard route repartitions by
+    // doc_id itself — a shared spread+checkpoint measured 1.0 → 1.2 s on
+    // the q21 shape (extra exchange + serialized materialization).
     val shards = numShards.getOrElse(shardsFor(totalTextBytes(docs), cfg))
     val gramRoute = verifyExtend(candidates(gramIndex(docs, cfg), cfg, droppedPairs), docs, cfg).toDF()
     val shardRoute = shardRepeats(docs, cfg, Some(shards), droppedPairs).toDF()

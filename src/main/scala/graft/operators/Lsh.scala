@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
  */
 object Lsh {
 
+  /** Spread a narrow input across the pool when its scan has fewer
+    * partitions than the session's parallelism (guide §2.5 input skew: a
+    * single small parquet file otherwise serializes every map-side pass —
+    * shingle/simhash fingerprinting, gram indexing, byte census — onto
+    * ONE task; measured 0.4–0.9 s single-task stages at sf0.1). Gated on
+    * the partition count, so a large input (≥ cores partitions) passes
+    * through untouched — never a blanket shuffle of the corpus. Hash on
+    * doc_id (deterministic under retries, guide §2.5); every downstream
+    * consumer is pinned partition-invariant (the N-vs-4N invariant), so
+    * outputs are identical. */
+  private[graft] def spreadInput(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= par) docs
+    else docs.repartition(par, col("doc_id"))
+  }
+
   /** S1 — (doc_id, shingles) with shingles distinct+sorted; docs whose text
     * yields no shingle (fewer than k tokens) keep an empty array. */
   def shingled(docs: DataFrame, cfg: DedupConfig): DataFrame =
@@ -670,7 +686,7 @@ object Lsh {
     * at 10^12 docs the reuse comes from its durable stage materialization
     * rather than executor block cache. */
   def minhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sh = shingled(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sh = shingled(spreadInput(docs), cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
     // candidates are consumed exactly once (the verify join) — caching them
     // here would be pure block-manager pressure. Hot lanes come back
@@ -688,7 +704,7 @@ object Lsh {
     * verified forest bounds it linearly per bucket with clusters
     * provably identical to the uncapped listing. */
   def simhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sims = simhashes(docs, cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sims = simhashes(spreadInput(docs), cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keys = saltBandKeys(simhashBandKeys(sims, cfg, carryHash = true), cfg)
     verifyHamming(simhashCandidatePairs(keys, cfg), sims, cfg)
   }
@@ -724,7 +740,7 @@ object Lsh {
                     maxBucket: Int = 100 * 1000): DataFrame = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // shingles feed the key chain AND the verify payload — one pass each
-    val cSh = shingled(corpus, cfg).localCheckpoint(false, ser)
+    val cSh = shingled(spreadInput(corpus), cfg).localCheckpoint(false, ser)
     val rSh = shingled(reference, cfg).localCheckpoint(false, ser)
     val rKeys = minhashBandKeys(signatures(rSh, cfg), cfg)
       .select(col("doc_id").as("ref_id"), col("key"))

@@ -25,6 +25,9 @@ object Fns {
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
 
+  def ngramStats(text: Column, n: Int, seed: Long = Xxh.SparkDefaultSeed): Column =
+    column(NgramStats(expression(text), n, seed))
+
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 

@@ -85,6 +85,25 @@ private[graft] object Tok {
     true
   }
 
+  /** Rebuild with single spaces (no leading/trailing) so word-gram spans
+    * match the canonical single-space-joined form; returns (buffer, len). */
+  def canonicalizeSpaces(raw: Array[Byte]): (Array[Byte], Int) = {
+    val out = new Array[Byte](raw.length)
+    var w = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val b = raw(i)
+      if (b == ' ') { if (w > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(w) = ' '; w += 1; pendingSpace = false }
+        out(w) = b; w += 1
+      }
+      i += 1
+    }
+    (out, w)
+  }
+
   /** Sort ascending and dedupe in place; returns possibly-shorter array. */
   def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
     java.util.Arrays.sort(a, 0, n)
@@ -124,7 +143,7 @@ case class ShingleHashes(child: Expression, unit: String, k: Int, seed: Long)
       else {
         val (bytes, len) =
           if (Tok.isCanonicalSpacing(raw, raw.length)) (raw, raw.length)
-          else canonicalize(raw)
+          else Tok.canonicalizeSpaces(raw)
         wordGrams(bytes, len)
       }
     UnsafeArrayData.fromPrimitiveArray(hashes)
@@ -155,25 +174,70 @@ case class ShingleHashes(child: Expression, unit: String, k: Int, seed: Long)
     Tok.sortedDistinct(out, n)
   }
 
-  /** Rebuild with single spaces so shingle spans match the joined form. */
-  private def canonicalize(raw: Array[Byte]): (Array[Byte], Int) = {
-    val out = new Array[Byte](raw.length)
-    var w = 0
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/**
+ * Within-doc n-gram repetition statistics in ONE fused pass (op TX11's
+ * kernel): tokenize (space-split, empties skipped), hash every overlapping
+ * n-token gram (xxhash64 of the single-space-joined gram bytes — the
+ * ShingleHashes identity, so equal gram token sequences hash equal for any
+ * input spacing), sort, run-scan. Returns struct(n_grams, n_distinct_grams,
+ * top_gram_count) — the three integers [Rae21]-style repetition filters
+ * derive their fractions from.
+ *
+ * Replaces (r7) a transform/array_join/array_sort/aggregate builtin chain:
+ * higher-order functions evaluate their lambdas interpreted per element and
+ * materialize every gram STRING — measured 11.3 s CPU over 5000 docs at
+ * sf0.1 vs ~0.2 s for this expression (guide §4: keep the hot path out of
+ * interpreted evaluation). Gram identity is the 64-bit hash — the same
+ * exact-dedup trade (2^-64 birthday term per doc) the corpus ops pin
+ * everywhere (q08/q09/q40).
+ */
+case class NgramStats(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with DelegatedUnaryCodegen {
+  require(n >= 1)
+  override protected def resultCast: String = "(org.apache.spark.sql.catalyst.InternalRow)"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct_grams", LongType, nullable = false),
+    StructField("top_gram_count", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    val (bytes, len) =
+      if (Tok.isCanonicalSpacing(raw, raw.length)) (raw, raw.length)
+      else Tok.canonicalizeSpaces(raw)
+    val spans = Tok.tokenSpans(bytes, len)
+    val nTok = spans.length / 2
+    val m = nTok - n + 1
+    if (m <= 0) return InternalRow(0L, 0L, 0L)
+    val hs = new Array[Long](m)
     var i = 0
-    var pendingSpace = false
-    while (i < raw.length) {
-      val b = raw(i)
-      if (b == ' ') { if (w > 0) pendingSpace = true }
-      else {
-        if (pendingSpace) { out(w) = ' '; w += 1; pendingSpace = false }
-        out(w) = b; w += 1
-      }
+    while (i < m) {
+      val from = spans(2 * i)
+      val to = spans(2 * (i + n - 1) + 1)
+      hs(i) = Xxh.hashBytes(bytes, from, to - from, seed)
       i += 1
     }
-    (out, w)
+    java.util.Arrays.sort(hs)
+    var distinct = 0L
+    var top = 0L
+    var run = 0L
+    i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { distinct += 1; run = 1L }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    InternalRow(m.toLong, distinct, top)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
     copy(child = newChild)
 }
 

@@ -686,8 +686,34 @@ object Lsh {
     * at 10^12 docs the reuse comes from its durable stage materialization
     * rather than executor block cache. */
   def minhashDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sh = shingled(spreadInput(docs), cfg).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val keys = saltBandKeys(minhashBandKeys(signatures(sh, cfg), cfg), cfg)
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sh = shingled(spreadInput(docs), cfg).localCheckpoint(false, ser)
+    val bandKeys = minhashBandKeys(signatures(sh, cfg), cfg)
+    // Count-gated hot path selection (r7, the restrictToCandidateDocs
+    // discipline): materialize the band keys + census ONCE and branch on
+    // whether any bucket is actually hot. No hot buckets — the normal
+    // small/medium regime — means the salt join, the (empty) hot-lane
+    // forest subplan, the union and the final dropDuplicates are all
+    // provably no-ops: the cold candidate listing is already distinct on
+    // (a, b) and every pair flows through the verify join. Output is
+    // identical in both branches; the hot branch is byte-for-byte the
+    // previous plan. (The facade keeps its fully-lazy listing so the
+    // three families' stages overlap — this gate is the standalone
+    // family's, where the census materialization is the first action
+    // anyway.)
+    if (cfg.saltMaxBucket > 0) {
+      val bk = bandKeys.localCheckpoint(false, ser)
+      val anyHot = !bk.groupBy("key").count()
+        .where(col("count") > cfg.saltMaxBucket).isEmpty
+      if (!anyHot)
+        return verifyJaccard(
+          candidatePairs(bk.withColumn("salt", lit(0))), sh, cfg)
+      val keys = saltBandKeys(bk, cfg, materialized = true)
+      val (cands, hotVerified) = minhashListing(keys, sh, cfg)
+      return verifyJaccard(cands, sh, cfg).unionByName(hotVerified)
+        .dropDuplicates("a", "b")
+    }
+    val keys = saltBandKeys(bandKeys, cfg)
     // candidates are consumed exactly once (the verify join) — caching them
     // here would be pure block-manager pressure. Hot lanes come back
     // already exact-verified (in-task forest); a pair that is both a cold

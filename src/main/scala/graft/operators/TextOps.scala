@@ -69,11 +69,22 @@ object TextOps {
     // graft-prefixed working columns so a caller's own k64/k128 survives
     val (k64c, k128c, mightC) = ("__graft_k64", "__graft_k128", "__graft_might_dup")
     val oldK64 = oldDocs.select(xxhash64(col("text")).as(k64c))
-    // an empty prior corpus can't dedup anything — and Spark's sketch
-    // aggregate over zero rows yields a filter with a null bit buffer
-    if (oldK64.isEmpty) return newDocs
-    val n = if (expectedOldItems > 0L) expectedOldItems
-            else math.max(oldK64.count(), 1L)
+    // Sizing discipline (r7, ADVICE): the old corpus is the 100 TB side —
+    // touch it as few times as possible. Sized callers (expectedOldItems
+    // > 0, the documented production contract) pay ONE full scan (the
+    // sketch build) plus a take(1)-cheap emptiness probe (an empty prior
+    // corpus can't dedup anything — and Spark's sketch aggregate over
+    // zero rows yields a filter with a null bit buffer). Unsized callers
+    // pay TWO full scans (count + sketch), with the count doubling as the
+    // emptiness probe — the third pass the old isEmpty-then-count shape
+    // paid is gone either way.
+    val n =
+      if (expectedOldItems > 0L) { if (oldK64.isEmpty) return newDocs; expectedOldItems }
+      else {
+        val c = oldK64.count()
+        if (c == 0L) return newDocs
+        c
+      }
     val bloom = oldK64.stat.bloomFilter(k64c, n, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val keyed = newDocs
@@ -435,26 +446,21 @@ object TextOps {
   def repetitionSignals(docs: DataFrame, n: Int = 2,
                         maxTopFrac: Double = 0.2,
                         maxDupFrac: Double = 0.6): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    // mode of the gram multiset: max run length over the sorted array
-    // (real grams are non-empty, so the "" initial prev never matches)
-    val top = aggregate(array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-               greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // ONE fused expression pass (NgramStats: tokenize → hash gram spans →
+    // sort → run-scan) replaces the transform/array_join/array_sort/
+    // aggregate builtin chain — higher-order functions evaluate their
+    // lambdas interpreted per element and materialized every gram string
+    // (r7: 11.3 → ~0.2 s CPU at sf0.1; same counts, gram identity via the
+    // 64-bit hash — the pinned corpus-wide exact-dedup trade). A null
+    // text keeps the pre-r7 semantics: zero grams, vacuous pass.
+    val st = coalesce(
+      graft.functions.Fns.ngramStats(col("text"), n),
+      struct(lit(0L).as("n_grams"), lit(0L).as("n_distinct_grams"),
+             lit(0L).as("top_gram_count")))
     docs.select(col("doc_id"),
-        size(grams).cast("long").as("n_grams"),
-        size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
-        top.as("top_gram_count"))
+        st.getField("n_grams").as("n_grams"),
+        st.getField("n_distinct_grams").as("n_distinct_grams"),
+        st.getField("top_gram_count").as("top_gram_count"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
         col("top_gram_count"),
         when(col("n_grams") > 0, col("top_gram_count") / col("n_grams"))

@@ -151,4 +151,41 @@ class JaccardForestSpec extends SparkSuite {
     assert(comps(salty) === comps(uncapped),
       "hot-lane verified forest must reproduce the uncapped family's clusters")
   }
+
+  test("minhashDupPairs hot-census gate: both branches == the ungated plan") {
+    // r7: the standalone family materializes the band-key census and skips
+    // the salt join + empty hot-lane subplan + final dropDuplicates when no
+    // bucket is hot. Pin pair-level identity against the ungated reference
+    // (the pre-gate plan, inlined) on BOTH branches: a hot corpus
+    // (saltMaxBucket=5 → boilerplate buckets salt) and a calm one.
+    def reference(docs: org.apache.spark.sql.DataFrame,
+                  cfg: graft.DedupConfig): Set[(Long, Long, Double)] = {
+      val sh = Lsh.shingled(docs, cfg)
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val keys = Lsh.saltBandKeys(
+        Lsh.minhashBandKeys(Lsh.signatures(sh, cfg), cfg), cfg)
+      val (cands, hotVerified) = Lsh.minhashListing(keys, sh, cfg)
+      Lsh.verifyJaccard(cands, sh, cfg).unionByName(hotVerified)
+        .dropDuplicates("a", "b")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val baseTokens = (0 until 60).map(i => s"tok$i")
+    val hotDocs = (0 until 25).map { m =>
+      val t = baseTokens.zipWithIndex
+        .map { case (w, i) => if (i == (m % 7) * 8) s"near$m" else w }.mkString(" ")
+      (100L + m, t)
+    }.toDF("doc_id", "text")
+    val calmDocs = (0 until 30).map { m =>
+      val t = baseTokens.zipWithIndex
+        .map { case (w, i) => if (i < 20) s"doc${m}w$i" else w }.mkString(" ")
+      (m.toLong, t)
+    }.toDF("doc_id", "text")
+    val salty = graft.DedupConfig.test.copy(saltMaxBucket = 5)
+    for ((docs, cfg) <- Seq((hotDocs, salty), (calmDocs, salty),
+                            (calmDocs, graft.DedupConfig.test))) {
+      val got = Lsh.minhashDupPairs(docs, cfg)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === reference(docs, cfg))
+    }
+  }
 }

@@ -395,10 +395,17 @@ object ExactSubstr {
     val floor = math.max(
       if (minMatch <= 0) cfg.gramLen + cfg.winnowW - 1 else minMatch,
       cfg.gramLen) // below gramLen the witness itself can't verify
+    // Bounded top-k witness accumulation (r7, VERDICT_r6 #5): the cap
+    // smallest (doc_id, off) per gram with buffers bounded at witnessCap
+    // at every stage (map-side partials included) — output identical to
+    // the slice(array_sort(collect_list(...))) it replaces, which
+    // buffered EVERY witness of a gram before capping (a mega-hot
+    // benchmark gram buffered unboundedly).
+    val bounded = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedWitnesses(witnessCap))
     val witnesses = gramIndex(bench.select("doc_id", "text"), cfg).toDF()
       .groupBy("gram")
-      .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("off")))),
-                 1, witnessCap).as("ws"),
+      .agg(bounded(col("doc_id"), col("off")).as("ws"),
            count(lit(1)).as("n"))
     val witnessesCounted = droppedWitnesses match {
       case Some(acc) => witnesses.as[(Long, Seq[(Long, Int)], Long)]

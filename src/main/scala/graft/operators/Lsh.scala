@@ -761,6 +761,12 @@ object Lsh {
     *  - the verify join probes corpus shingles restricted to candidate
     *    ids (AQE broadcasts the id list) against the broadcast reference
     *    shingles.
+    *
+    * Block lifetime (ADVICE_r6): the internal localCheckpoints live until
+    * the session's ContextCleaner collects them (periodic GC cadence) —
+    * a decontamination loop calling this per increment should run each
+    * call through its own stage boundary (materialize + let the facade
+    * lifecycle release), as DedupMain's day loop does for its stages.
     */
   def crossDupPairs(corpus: DataFrame, reference: DataFrame, cfg: DedupConfig,
                     maxBucket: Int = 100 * 1000): DataFrame = {

@@ -192,6 +192,15 @@ object StreamingDedup {
       : Vector[CachedBatch] = synchronized {
     val prevNewest = committedSnapshots(spark, s"$root/keys")
       .filter(_ != batchId).reduceOption(_ max _)
+    // Session guard (ADVICE_r6): the cache is JVM-global keyed by root —
+    // a NEW SparkSession reusing a root (suite churn, session restart
+    // without evict) must not be served DataFrames bound to the old,
+    // possibly stopped, session. Evict the stale root (block release is
+    // Try-wrapped for dead sessions) and take the rebuild branch.
+    stateCache.get(root).foreach { v =>
+      if (!v.forall(_.tables.values.forall(_.sparkSession eq spark)))
+        evictStateCache(root)
+    }
     val cached = stateCache.get(root)
     val next: Vector[CachedBatch] = cached match {
       case Some(v) if v.nonEmpty && v.last.id == batchId &&
@@ -408,7 +417,44 @@ object StreamingDedup {
     * new×all operator, their verified pairs family-tagged into the same
     * per-batch pair partition. */
   def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig, root: String,
-                   compactEvery: Int = CompactEvery): Unit = {
+                   compactEvery: Int = CompactEvery): Unit =
+    try processBatchAttempt(batch, batchId, cfg, root, compactEvery)
+    catch {
+      // Resident-state self-healing (ADVICE_r6 medium): localCheckpoint'd
+      // cache blocks have TRUNCATED lineage — on a real cluster an
+      // executor loss permanently loses state blocks, and without this
+      // every subsequent batch on the root fails despite a working
+      // parquet recovery layer. Evict the root and retry ONCE through the
+      // rebuild path; the whole batch body is replay-idempotent by
+      // construction (per-batch-dir Overwrite), so re-running it is the
+      // same contract as a streaming-engine re-delivery.
+      case e: Throwable if isMissingBlockFailure(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"resident state blocks for $root lost (${e.getMessage}); " +
+            "evicting cache and retrying batch via the parquet rebuild path")
+        evictStateCache(root)
+        processBatchAttempt(batch, batchId, cfg, root, compactEvery)
+    }
+
+  /** Lost-cached-block signatures: a truncated-lineage (localCheckpoint)
+    * RDD whose blocks are gone cannot recompute — Spark surfaces it as a
+    * checkpoint-block-not-found / block-fetch error somewhere in the cause
+    * chain. Cycle-guarded walk. */
+  private[streaming] def isMissingBlockFailure(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && {
+        val m = Option(t.getMessage).getOrElse("")
+        t.isInstanceOf[org.apache.spark.storage.BlockNotFoundException] ||
+        (m.contains("Checkpoint block") && m.contains("not found")) ||
+        m.contains("Failed to fetch block") ||
+        walk(t.getCause)
+      }
+    walk(e)
+  }
+
+  private def processBatchAttempt(batch: DataFrame, batchId: Long, cfg: DedupConfig,
+                                  root: String, compactEvery: Int): Unit = {
     val spark = batch.sparkSession
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // refuse incompatible state, recover any torn compaction, and fold the

@@ -65,6 +65,37 @@ class CrossContaminationSpec extends SparkSuite {
     assert(acc.value > 0L, "excess witnesses must be counted, not silent")
   }
 
+  test("bounded witness accumulation == collect-then-slice on a mega-hot gram") {
+    // r7 (VERDICT_r6 #5): the witness build keeps the cap smallest
+    // (doc_id, off) per gram with buffers bounded at the cap EVERYWHERE
+    // (the old collect_list buffered all witnesses before slicing). Pin
+    // byte-identity of the aggregate against the unbounded reference on a
+    // single-gram pathological benchmark: hundreds of docs sharing one run.
+    import org.apache.spark.sql.functions._
+    val cap = 3
+    val hotBench = (0L until 200L)
+      .map(i => (i, s"b$i<" + run + s">t$i"))
+      .toDF("doc_id", "text")
+    val grams = ExactSubstr.gramIndex(hotBench, cfg).toDF()
+      .localCheckpoint()
+    val bounded = udaf(new graft.functions.BoundedWitnesses(cap))
+    val got = grams.groupBy("gram")
+      .agg(bounded(col("doc_id"), col("off")).as("ws"))
+      .select(col("gram"), col("ws"))
+      .as[(Long, Seq[(Long, Int)])].collect().toMap
+    val ref = grams.groupBy("gram")
+      .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("off")))),
+                 1, cap).as("ws"))
+      .as[(Long, Seq[(Long, Int)])].collect().toMap
+    assert(got === ref)
+    assert(got.values.exists(_.size == cap), "a hot gram must hit the cap")
+    // and the operator output on the pathological fixture stays correct
+    val corpus = Seq((999L, "xx(" + run + ")yy")).toDF("doc_id", "text")
+    val pairs = collectPairs(
+      ExactSubstr.crossContamination(corpus, hotBench, cfg, witnessCap = cap))
+    assert(pairs.nonEmpty && pairs.values.forall(_ === run.length))
+  }
+
   test("containment regime matches brute force (the q43 oracle shape)") {
     // corpus doc CONTAINS bench doc 2 verbatim; bench doc 4 contains
     // corpus doc 5; match_len = the shorter text's byte length

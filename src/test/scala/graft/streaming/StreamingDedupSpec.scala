@@ -157,6 +157,56 @@ class StreamingDedupSpec extends SparkSuite {
     assert(streamed === batch, s"extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("lost resident-state blocks self-heal: evict + rebuild retry (ADVICE r6)") {
+    // Simulated executor loss: localCheckpoint'd cache blocks vanish while
+    // the cache still holds their DataFrames — truncated lineage cannot
+    // recompute, so without the retry every later batch on the root throws.
+    // processBatch must evict the root and retry once via the parquet
+    // rebuild path (the whole body is replay-idempotent).
+    val docs = PagesGen.docs(spark, 240, cfg).toDF() // NOT checkpointed: the
+    // block massacre below must only hit resident-state blocks' class
+    val root = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    StreamingDedup.evictStateCache(root)
+    (0 until 2).foreach { b =>
+      StreamingDedup.processBatch(
+        docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong, cfg, root)
+    }
+    assert(StreamingDedup.lastStateSource === "cache-extend")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    StreamingDedup.processBatch(
+      docs.where(pmod(col("doc_id"), lit(3)) === 2), 2L, cfg, root)
+    assert(StreamingDedup.lastStateSource === "rebuild",
+      s"healed batch should rebuild, got ${StreamingDedup.lastStateSource}")
+    // full parity with the batch pipeline after the healed run
+    val streamed = StreamingDedup.latestClusters(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val batchPairs = Lsh.minhashDupPairs(docs, cfg).select("a", "b")
+      .unionByName(Lsh.simhashDupPairs(docs, cfg).select("a", "b"))
+    val batch = graft.operators.ConnectedComponents.assign(batchPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("a new SparkSession on a cached root rebuilds instead of stale frames") {
+    // ADVICE r6: the cache is JVM-global keyed by root; a new session
+    // reusing the root must not be served DataFrames bound to the old one.
+    val docs = PagesGen.docs(spark, 180, cfg).toDF().localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    StreamingDedup.evictStateCache(root)
+    (0 until 2).foreach { b =>
+      StreamingDedup.processBatch(
+        docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong, cfg, root)
+    }
+    assert(StreamingDedup.lastStateSource === "cache-extend")
+    val s2 = spark.newSession()
+    val docs2 = PagesGen.docs(s2, 180, cfg).toDF()
+    StreamingDedup.processBatch(
+      docs2.where(pmod(col("doc_id"), lit(3)) === 2), 2L, cfg, root)
+    assert(StreamingDedup.lastStateSource === "rebuild",
+      s"new session should rebuild, got ${StreamingDedup.lastStateSource}")
+    StreamingDedup.evictStateCache(root)
+  }
+
   test("streaming keepBest == batch keepBest on a replayed corpus") {
     val docs = PagesGen.docs(spark, 200, cfg).toDF().localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft-skb").toString

@@ -34,6 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // facade) and late-run 50–100 s outliers; a 90 s cadence keeps the
   // session flat (spark_optimization_guide §5: unpersist when done).
   "-Dspark.cleaner.periodicGC.interval=90s",
+  // ...and make that periodic System.gc() a CONCURRENT G1 cycle instead of
+  // a stop-the-world full GC: at 960k-scale block-cache heaps the default
+  // full collection paused multi-second every 90 s (weak refs still get
+  // processed by the concurrent cycle, so ContextCleaner keeps draining).
+  "-XX:+ExplicitGCInvokesConcurrent",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // 26k+ JIT nmethods accumulate across one query's reps alone; the
   // 240 MB default forces code-cache sweeps/recompile churn late in a

@@ -159,8 +159,108 @@ object StreamingDedup {
    * by definition; MEMORY_AND_DISK degrades to executor-local-disk reads,
    * not remote-storage scans, under pressure.
    */
+  /** Number of index partitions per resident entry (a modest constant:
+    * probe shuffles are tiny and maps stay coarse; the entry count is
+    * already O(log batches) via the binary merge). */
+  private val IndexParts = 32
+
+  /**
+   * Point-lookup index of one resident table (VERDICT_r6 #1: per-batch
+   * resident reads must track the batch's candidates, not state size).
+   * An RDD of ONE open hash map per partition, hash-partitioned on the
+   * lookup key — band `key` for the key tables (multi-map: key → member
+   * doc_ids) and `doc_id` for the payload tables (map: doc_id → payload).
+   * A probe set of Q keys repartitions by the same partitioner and
+   * zip-probes the maps: resident rows TOUCHED per batch = probes +
+   * matches (counted into `residentRowsTouched`), never an O(state)
+   * scan. The map RDDs persist deserialized in memory and recompute from
+   * the entry's checkpointed blocks on eviction (lineage intact).
+   */
+  private final case class TableIndex(
+      rdd: org.apache.spark.rdd.RDD[java.util.HashMap[Long, Array[Long]]]) {
+    def release(): Unit = scala.util.Try(rdd.unpersist(blocking = false))
+  }
+
+  private def partitioner = new org.apache.spark.HashPartitioner(IndexParts)
+
+  /** Build a key→packed-values index from (lookupKey, value) pairs. For
+    * the key tables the value is the member doc_id (multi-map, values
+    * appended); for simhashes the value is the fingerprint (unique key).
+    * Shingle payloads pack the array with a length prefix. */
+  private def buildIndex(pairs: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+      : TableIndex = {
+    val rdd = pairs.partitionBy(partitioner).mapPartitions({ it =>
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      it.foreach { case (k, v) =>
+        val prev = m.get(k)
+        if (prev == null) m.put(k, v)
+        else {
+          val merged = java.util.Arrays.copyOf(prev, prev.length + v.length)
+          System.arraycopy(v, 0, merged, prev.length, v.length)
+          m.put(k, merged)
+        }
+      }
+      Iterator.single(m)
+    }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TableIndex(rdd)
+  }
+
+  /** Probe `ids` (deduped here — ONE shuffle: reduceByKey with the index
+    * partitioner, which both dedupes and co-partitions) against the
+    * indexes of several entries, emitting every (id, packedValue) match.
+    * The probe set persists in memory for the K per-entry zips (without
+    * it each zip recomputed the dedup shuffle) and is handed to `cleanup`
+    * for release at batch end. Rows touched = probes + matches, counted
+    * into `touched`. */
+  private def probeIndexes(ids: org.apache.spark.rdd.RDD[Long],
+                           idx: Seq[TableIndex],
+                           probed: org.apache.spark.util.LongAccumulator,
+                           matched: org.apache.spark.util.LongAccumulator,
+                           cleanup: scala.collection.mutable.Buffer[org.apache.spark.rdd.RDD[_]])
+      : org.apache.spark.rdd.RDD[(Long, Array[Long])] = {
+    val q = ids.map((_, ())).reduceByKey(partitioner, (a, _) => a)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanup += q
+    val sc = q.sparkContext
+    val probes = idx.map { ix =>
+      q.zipPartitions(ix.rdd, preservesPartitioning = true) { (qs, ms) =>
+        if (!ms.hasNext) Iterator.empty
+        else {
+          val m = ms.next()
+          qs.flatMap { case (k, _) =>
+            probed.add(1L)
+            val v = m.get(k)
+            if (v == null) Iterator.empty
+            else { matched.add(v.length); Iterator.single((k, v)) }
+          }
+        }
+      }
+    }
+    if (probes.isEmpty) sc.emptyRDD[(Long, Array[Long])]
+    else probes.reduce(_ union _)
+  }
+
+  /** Indexes for one entry's tables: key tables multi-map by band key,
+    * payload tables by doc_id. Lazy RDD transformations — the maps
+    * materialize (and persist) at the first probe that needs them. */
+  private def indexesFor(tables: Map[String, DataFrame]): Map[String, TableIndex] =
+    tables.map {
+      case (t @ ("keys" | "keys_sh"), df) =>
+        t -> buildIndex(df.select(col("key"), col("doc_id"))
+          .rdd.map(r => (r.getLong(0), Array(r.getLong(1)))))
+      case ("shingled", df) =>
+        "shingled" -> buildIndex(df.select(col("doc_id"), col("shingles"))
+          .rdd.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)))
+      case ("simhashes", df) =>
+        "simhashes" -> buildIndex(df.select(col("doc_id"), col("simhash"))
+          .rdd.map(r => (r.getLong(0), Array(r.getLong(1)))))
+      case (t, _) => throw new IllegalArgumentException(s"unknown state table $t")
+    }
+
   private final case class CachedBatch(id: Long, tables: Map[String, DataFrame],
-                                       span: Int = 1)
+                                       span: Int = 1,
+                                       indexes: Map[String, TableIndex] = Map.empty)
   private val stateCache =
     scala.collection.mutable.LinkedHashMap[String, Vector[CachedBatch]]()
   /** How the last processBatch obtained its old-state view — the spec's
@@ -170,10 +270,12 @@ object StreamingDedup {
     * blocks are released (tests churn many tiny roots in one JVM). */
   private val MaxCachedRoots = 2
 
-  private def unpersistBatch(cb: CachedBatch): Unit =
+  private def unpersistBatch(cb: CachedBatch): Unit = {
     // Try: an evicted root may belong to an already-stopped session
     // (suite teardown) — releasing dead blocks must not fail the live one
+    cb.indexes.values.foreach(_.release())
     cb.tables.values.foreach(df => scala.util.Try(unpersistCheckpoint(df)))
+  }
 
   /** Drop a root's resident state (blocks released). The next batch on
     * that root rebuilds from parquet — also the test hook for simulating
@@ -211,10 +313,11 @@ object StreamingDedup {
         // would leak one full block set per replay; the caller keeps
         // using its fresh handles either way)
         unpersistBatch(v.last)
-        v.dropRight(1) :+ CachedBatch(batchId, newRows, v.last.span)
+        v.dropRight(1) :+
+          CachedBatch(batchId, newRows, v.last.span, indexesFor(newRows))
       case Some(v) if v.nonEmpty && prevNewest.contains(v.last.id) =>
         lastStateSource = "cache-extend"
-        binaryMerge(v :+ CachedBatch(batchId, newRows))
+        binaryMerge(v :+ CachedBatch(batchId, newRows, 1, indexesFor(newRows)))
       case other =>
         // fresh JVM, evicted root, or a root recreated under a live cache
         // — the one O(state) read left: recovery. Prior batches collapse
@@ -223,15 +326,16 @@ object StreamingDedup {
         lastStateSource = "rebuild"
         other.foreach(_.foreach(unpersistBatch))
         val prior = prevNewest.map { pn =>
-          CachedBatch(pn, StateTables.map { t =>
+          val tabs = StateTables.map { t =>
             t -> spark.read.parquet(s"$root/$t")
               .where(col("batch_id") =!= batchId).drop("batch_id")
               .localCheckpoint(false,
                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          }.toMap, span = committedSnapshots(spark, s"$root/keys")
-            .count(_ != batchId))
+          }.toMap
+          CachedBatch(pn, tabs, span = committedSnapshots(spark, s"$root/keys")
+            .count(_ != batchId), indexes = indexesFor(tabs))
         }.toVector
-        prior :+ CachedBatch(batchId, newRows)
+        prior :+ CachedBatch(batchId, newRows, 1, indexesFor(newRows))
     }
     stateCache.remove(root) // re-insert moves the root to LRU tail
     stateCache.put(root, next)
@@ -252,11 +356,13 @@ object StreamingDedup {
     var old = v.dropRight(1)
     while (old.size >= 2 && old(old.size - 2).span == old(old.size - 1).span) {
       val (a, b) = (old(old.size - 2), old(old.size - 1))
-      val merged = CachedBatch(math.max(a.id, b.id), StateTables.map { t =>
+      val mergedTabs = StateTables.map { t =>
         t -> a.tables(t).unionByName(b.tables(t))
           .localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }.toMap, a.span + b.span)
+      }.toMap
+      val merged = CachedBatch(math.max(a.id, b.id), mergedTabs,
+        a.span + b.span, indexesFor(mergedTabs))
       unpersistBatch(a); unpersistBatch(b)
       old = old.dropRight(2) :+ merged
     }
@@ -512,24 +618,38 @@ object StreamingDedup {
     val resident = residentState(spark, root, batchId, Map(
       "keys" -> newKeys, "keys_sh" -> newKeysSh,
       "shingled" -> sh, "simhashes" -> sims))
-    // prior batches = every entry but this one (NOT "all minus newKeys": on
-    // a replay the state already covers this batch, and filtering by ENTRY
-    // id keeps the old/new split exact). The union is COALESCED back to the
-    // session's partition count: each entry carries its own partitions, so
-    // an uncoalesced K-entry view would fan every downstream consumer out
-    // to K×partitions tiny tasks — per-batch task-count growing O(K) until
-    // the fold (narrow coalesce: no shuffle, tasks just read several
-    // cached blocks each).
-    val parts = spark.sessionState.conf.numShufflePartitions
-    def stateView(dirs: Vector[CachedBatch], dir: String, cols: Seq[String]): DataFrame =
-      dirs.map(_.tables(dir).select(cols.map(col): _*))
-        .reduceOption(_ unionByName _)
-        .map(df => if (dirs.size > 1) df.coalesce(parts) else df)
-        .getOrElse(resident.last.tables(dir).select(cols.map(col): _*).limit(0))
-    def oldState(dir: String): DataFrame =
-      stateView(resident.filter(_.id != batchId), dir, Seq("doc_id", "key"))
-    def fullState(dir: String, cols: String*): DataFrame =
-      stateView(resident, dir, cols)
+    // Every state read below is a POINT LOOKUP against the entries'
+    // hash-map indexes (VERDICT_r6 #1): resident rows touched per batch =
+    // probes + matches — the increment's keys and the candidates' doc ids
+    // — never an O(state) scan. The lookups are lazy RDD transformations
+    // consumed inside the existing actions, so no extra driver syncs.
+    import spark.implicits._
+    val probed = spark.sparkContext.longAccumulator("graft.residentRowsProbed")
+    val matched = spark.sparkContext.longAccumulator("graft.residentRowsMatched")
+    val probeSets = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    val oldEntries = resident.filter(_.id != batchId)
+    // key tables: old members of exactly the buckets the increment touches
+    // — content-identical to the left-semi restriction newVsAllListing
+    // would apply to a full old-state view (it re-applies it, a no-op)
+    def oldKeysLookup(dir: String, probe: DataFrame): DataFrame =
+      spark.createDataset(
+        probeIndexes(probe.select("key").as[Long].rdd,
+                     oldEntries.map(_.indexes(dir)), probed, matched, probeSets)
+          .flatMap { case (k, docs) => docs.iterator.map(d => (d, k)) })
+        .toDF("doc_id", "key")
+    // payload tables: the requested ids' rows from ALL entries (incl. this
+    // batch) — the inner joins they feed keep exactly these rows anyway
+    def shinglesLookup(ids: DataFrame): DataFrame =
+      spark.createDataset(
+        probeIndexes(ids.as[Long].rdd, resident.map(_.indexes("shingled")),
+                     probed, matched, probeSets))
+        .toDF("doc_id", "shingles")
+    def simhashLookup(ids: DataFrame): DataFrame =
+      spark.createDataset(
+        probeIndexes(ids.as[Long].rdd, resident.map(_.indexes("simhashes")),
+                     probed, matched, probeSets)
+          .map { case (d, v) => (d, v(0)) })
+        .toDF("doc_id", "simhash")
     // new × all bucket listings — the shared incremental operator
     // (Lsh.newVsAllListing, which derives all = new ∪ old internally):
     // every emitted pair involves ≥1 new doc → no pair repeats across
@@ -537,9 +657,9 @@ object StreamingDedup {
     // salt formula) resolved in-task by the family's exact-verified
     // forest — no unverified edges, matching the batch discipline.
     val (mhCold, mhLanes) = Lsh.newVsAllListing(
-      newKeys, oldState("keys"), cfg.saltMaxBucket)
+      newKeys, oldKeysLookup("keys", newKeys), cfg.saltMaxBucket)
     val (shColdL, shLanes) = Lsh.newVsAllListing(
-      newKeysSh, oldState("keys_sh"), cfg.saltMaxBucket)
+      newKeysSh, oldKeysLookup("keys_sh", newKeysSh), cfg.saltMaxBucket)
     val cands = mhCold.distinct().localCheckpoint(false, ser)
     val candsSh = shColdL.distinct().localCheckpoint(false, ser)
     // previous committed snapshot: the lane seed (sound merge-emit —
@@ -548,15 +668,29 @@ object StreamingDedup {
     val prevAssign = committedSnapshots(spark, s"$root/clusters")
       .filter(_ < batchId).sorted.lastOption
       .map(id => spark.read.parquet(s"$root/clusters/batch_id=$id"))
+    // lanes are consumed twice now (payload probe ids + the join) — a lazy
+    // checkpoint materializes the lane subtree once; released at batch end
+    val mhLanesS = Lsh.withLaneSeeds(mhLanes, prevAssign)
+      .localCheckpoint(false, ser)
+    val shLanesS = Lsh.withLaneSeeds(shLanes, prevAssign)
+      .localCheckpoint(false, ser)
+    // ONE payload lookup per family covers the lane join AND the verify
+    // join (probe ids = lane members ∪ candidate-pair endpoints): both
+    // consumers are inner joins on ids ⊆ the probe set, so a shared
+    // superset table preserves results while halving the lookup count
+    def pairIds(p: DataFrame): DataFrame =
+      p.select(col("a").as("id")).unionByName(p.select(col("b").as("id")))
+    val shingleTbl = shinglesLookup(
+        mhLanesS.select(col("doc_id").as("id")).unionByName(pairIds(cands)))
+      .localCheckpoint(false, ser)
+    val simhashTbl = simhashLookup(
+        shLanesS.select(col("doc_id").as("id")).unionByName(pairIds(candsSh)))
+      .localCheckpoint(false, ser)
     val mhLaneV = Lsh.jaccardIncrementalLanePairs(
-        Lsh.withLaneSeeds(mhLanes, prevAssign)
-          .join(fullState("shingled", "doc_id", "shingles"), "doc_id"),
-        cfg.jaccardThreshold)
+        mhLanesS.join(shingleTbl, "doc_id"), cfg.jaccardThreshold)
       .localCheckpoint(false, ser)
     val shLaneV = Lsh.hammingIncrementalLanePairs(
-        Lsh.withLaneSeeds(shLanes, prevAssign)
-          .join(fullState("simhashes", "doc_id", "simhash"), "doc_id"),
-        cfg.hammingThreshold)
+        shLanesS.join(simhashTbl, "doc_id"), cfg.hammingThreshold)
       .localCheckpoint(false, ser)
     // one union action materializes all four checkpoints (the families
     // overlap across the pool — the batch paths' discipline) and yields
@@ -567,12 +701,12 @@ object StreamingDedup {
       .unionByName(shLaneV.select(lit("shv").as("fam")))
       .groupBy("fam").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    verifiedNewPairs(fullState("shingled", "doc_id", "shingles"),
+    verifiedNewPairs(shingleTbl,
         cands, famCounts.getOrElse("mh", 0L), cfg)
       .select("a", "b").unionByName(mhLaneV)
       .withColumn("family", lit("minhash"))
       .unionByName(
-        verifiedNewPairsHamming(fullState("simhashes", "doc_id", "simhash"),
+        verifiedNewPairsHamming(simhashTbl,
           candsSh, famCounts.getOrElse("sh", 0L), cfg)
           .select("a", "b").unionByName(shLaneV)
           .withColumn("family", lit("simhash")))
@@ -606,8 +740,24 @@ object StreamingDedup {
     // ContextCleaner happens to notice (the CC round-lifecycle lesson).
     // sh/sims/newKeys/newKeysSh are NOT released: they are this batch's
     // resident-state entry, owned by the cache (released at fold/evict).
-    Seq(cands, candsSh, mhLaneV, shLaneV).foreach(unpersistCheckpoint)
+    Seq(cands, candsSh, mhLanesS, shLanesS, shingleTbl, simhashTbl,
+        mhLaneV, shLaneV)
+      .foreach(unpersistCheckpoint)
+    probeSets.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+    lastResidentRowsProbed = probed.value
+    lastResidentRowsMatched = matched.value
   }
+
+  /** Resident rows touched by the last processBatch, split into PROBES
+    * (the increment's distinct keys/ids, ~flat for same-sized batches ×
+    * the O(log n) entry count) and MATCHES (the old rows those probes hit
+    * — exactly the candidate rows the listings/joins consume, so this
+    * term tracks the batch's CANDIDATE volume, never state size) — the
+    * VERDICT_r6 #1 observability metric. */
+  @volatile private[graft] var lastResidentRowsProbed: Long = 0L
+  @volatile private[graft] var lastResidentRowsMatched: Long = 0L
+  private[graft] def lastResidentRowsTouched: Long =
+    lastResidentRowsProbed + lastResidentRowsMatched
 
   /** RDD blocks behind a localCheckpoint'd DataFrame, released. */
   private def unpersistCheckpoint(df: DataFrame): Unit =

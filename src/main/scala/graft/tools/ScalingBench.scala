@@ -469,7 +469,9 @@ object ScalingBench {
         graft.streaming.StreamingDedup.processBatch(b, i.toLong, cfg, root)
         val w = (System.nanoTime() - t0) / 1e9
         val mb = (fileBytesRead() - b0) / 1e6
-        println(f"  stream-batch $i%3d wall=$w%7.1fs src=${graft.streaming.StreamingDedup.lastStateSource}%-13s durable_read=$mb%8.1f MB")
+        val trP = graft.streaming.StreamingDedup.lastResidentRowsProbed
+        val trM = graft.streaming.StreamingDedup.lastResidentRowsMatched
+        println(f"  stream-batch $i%3d wall=$w%7.1fs src=${graft.streaming.StreamingDedup.lastStateSource}%-13s durable_read=$mb%8.1f MB resident_probes=$trP%9d resident_matches=$trM%9d")
         (w, mb)
       }
       val walls = measured.map(_._1)

@@ -471,7 +471,17 @@ object ScalingBench {
         val mb = (fileBytesRead() - b0) / 1e6
         val trP = graft.streaming.StreamingDedup.lastResidentRowsProbed
         val trM = graft.streaming.StreamingDedup.lastResidentRowsMatched
-        println(f"  stream-batch $i%3d wall=$w%7.1fs src=${graft.streaming.StreamingDedup.lastStateSource}%-13s durable_read=$mb%8.1f MB resident_probes=$trP%9d resident_matches=$trM%9d")
+        // VERDICT_r6 #7: per-batch streaming keepBest at scale — the
+        // consumer query (quality dedup over the CURRENT snapshot against
+        // the full doc table), timed with its kept-doc count disclosed
+        val kb = if (sys.env.contains("SPARK_GRAFT_STREAM_KEEPBEST")) {
+          val docsAll = DedupMain.toDocs(spark.read.parquet(corpus))
+          val t1 = System.nanoTime()
+          val kept = graft.streaming.StreamingDedup.keepBest(docsAll, root,
+            org.apache.spark.sql.functions.octet_length(col("text")).cast("long")).count()
+          f" keepbest=${(System.nanoTime() - t1) / 1e9}%5.1fs kept=$kept%8d"
+        } else ""
+        println(f"  stream-batch $i%3d wall=$w%7.1fs src=${graft.streaming.StreamingDedup.lastStateSource}%-13s durable_read=$mb%8.1f MB resident_probes=$trP%9d resident_matches=$trM%9d$kb")
         (w, mb)
       }
       val walls = measured.map(_._1)
